@@ -171,6 +171,7 @@ class NeRFModel:
             "opacity": opacity,
             "depth": depth,
             "rays_valid": opacity > 0,
+            "rays_kept": samples.ray_kept,
             "num_samples": samples.num_valid,
         }
         if train:

@@ -228,6 +228,7 @@ class NeuSModel:
             "opacity": opacity,
             "depth": depth,
             "rays_valid": opacity > 0,
+            "rays_kept": samples.ray_kept,
             "num_samples": samples.num_valid,
         }
         if train:
@@ -314,6 +315,7 @@ class NeuSModel:
             "opacity": opacity,
             "depth": depth,
             "rays_valid": opacity > 0,
+            "rays_kept": samples.ray_kept,
             "num_samples": samples.num_valid,
             "inv_s": inv_s,
         }
@@ -345,12 +347,14 @@ class NeuSModel:
                 "comp_rgb": bg,
                 "num_samples": jnp.zeros_like(out["num_samples"]),
                 "rays_valid": jnp.zeros_like(out["rays_valid"]),
+                "rays_kept": jnp.ones_like(out["rays_kept"]),
             }
 
         out_full = {
             "comp_rgb": out["comp_rgb"] + out_bg["comp_rgb"] * (1.0 - out["opacity"]),
             "num_samples": out["num_samples"] + out_bg["num_samples"],
             "rays_valid": out["rays_valid"] | out_bg["rays_valid"],
+            "rays_kept": out["rays_kept"] & out_bg["rays_kept"],
         }
         return {
             **out,

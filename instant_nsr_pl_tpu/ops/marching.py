@@ -147,7 +147,8 @@ class PackedSamples(NamedTuple):
     t_starts: jax.Array  # (CAP,) float32
     t_ends: jax.Array  # (CAP,) float32
     valid: jax.Array  # (CAP,) bool
-    num_valid: jax.Array  # () int32 — total live samples
+    num_valid: jax.Array  # () int32 — total live samples (pre-truncation)
+    ray_kept: jax.Array  # (R,) bool — all of this ray's live samples fit in CAP
 
 
 def _t_schedule(t_min, render_step_size, cone_angle, max_samples):
@@ -227,12 +228,17 @@ def march_rays(
     safe = jnp.minimum(sel, R * S - 1).astype(jnp.int32)
     ray_indices = (safe // S).astype(jnp.int32)
     ray_indices = jnp.where(packed_valid, ray_indices, R - 1)
+    # a ray is fully kept iff the cumulative live-sample count through it
+    # fits in the capacity (truncated rays must be masked out of losses)
+    per_ray = valid.sum(axis=1)
+    ray_kept = jnp.cumsum(per_ray) <= capacity
     return PackedSamples(
         ray_indices=ray_indices,
         t_starts=jnp.where(packed_valid, t_starts.reshape(-1)[safe], 0.0),
         t_ends=jnp.where(packed_valid, t_ends.reshape(-1)[safe], 0.0),
         valid=packed_valid,
-        num_valid=jnp.minimum(num_valid, capacity),
+        num_valid=num_valid,
+        ray_kept=ray_kept,
     )
 
 

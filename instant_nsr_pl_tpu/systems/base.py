@@ -1,0 +1,303 @@
+"""Base training system: functional train state + shared sampling machinery.
+
+Re-designs the reference's ``BaseSystem(pl.LightningModule)`` (reference:
+systems/base.py:9-127) without Lightning: a system owns a *static* model
+object plus pure jitted step functions over an explicit train-state pytree
+
+    state = {params, opt_state, occ, step, rng}
+
+The reference's Python-side mutation hooks (``update_module_step``,
+``preprocess_data``) become traced functions of ``state['step']`` inside the
+jitted step; the amortized occupancy-grid maintenance (reference
+models/nerf.py:45-55 via nerfacc ``every_n_step``) stays host-scheduled
+(every 16 steps) but each update is itself one jitted call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from instant_nsr_pl_tpu.registry import models
+from instant_nsr_pl_tpu.ops.ray import get_rays
+from instant_nsr_pl_tpu.systems.optimizers import make_optimizer
+
+
+def C(value, step):
+    """Scheduled scalar: float, or [start_step, start_val, end_val, end_step]
+    (or the 3-element form with start_step=0), linearly interpolated by step.
+
+    Mirrors the reference's ``BaseSystem.C`` (systems/base.py:28-45), as a
+    pure traced function (``interpolation: epoch`` intentionally dropped —
+    the loop is step-based).
+    """
+    if isinstance(value, (int, float)):
+        return jnp.float32(value)
+    value = list(value)
+    if len(value) == 3:
+        value = [0] + value
+    assert len(value) == 4, f"bad scheduled value spec {value}"
+    start_step, start_value, end_value, end_step = value
+    t = jnp.clip(
+        (jnp.asarray(step, jnp.float32) - start_step) / max(end_step - start_step, 1),
+        0.0,
+        1.0,
+    )
+    return jnp.float32(start_value) + t * (
+        jnp.float32(end_value) - jnp.float32(start_value)
+    )
+
+
+class BaseSystem:
+    """Holds the model + dataset device arrays and builds jitted steps.
+
+    Subclasses implement ``loss_fn(params, occ, batch, rng, step)`` returning
+    (loss, metrics_dict) and ``eval_outputs`` naming the forward keys needed
+    for validation images.
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.model = models.make(config.model.name, config.model)
+        # static batch geometry (TPU: shapes are fixed per compilation)
+        m = config.model
+        self.train_num_rays = int(m.get("max_train_num_rays", m.get("train_num_rays", 8192)))
+        # packed-sample budget per train step = the reference's target
+        # train_num_samples = train_num_rays * num_samples_per_ray
+        # (systems/nerf.py:27) — here a static capacity with compaction
+        self.train_capacity = int(
+            m.get(
+                "train_num_samples",
+                int(m.get("train_num_rays", 256)) * int(m.num_samples_per_ray),
+            )
+        )
+        self.eval_chunk_rays = int(m.get("eval_chunk_rays", 4096))
+        self.eval_capacity = int(
+            m.get("eval_num_samples", self.eval_chunk_rays * 128)
+        )
+        self.background_color_mode = str(m.get("background_color", "random"))
+        self.batch_image_sampling = bool(m.get("batch_image_sampling", True))
+        self.randomized = bool(m.get("randomized", True))
+        self.grid_warmup_steps = 256
+        self.grid_update_every = 16
+
+        self.data = None  # set by setup_data
+        self._jitted = {}
+
+    # -- data ---------------------------------------------------------------
+    def setup_data(self, dataset):
+        """Move a dataset split's arrays onto device.
+
+        ``dataset`` exposes numpy arrays: all_images (N,H,W,3), all_fg_masks
+        (N,H,W), all_c2w (N,3,4), directions (H,W,3) or (N,H,W,3), plus
+        w/h/has_mask/apply_mask (reference contract: systems/nerf.py:38-64).
+        """
+        self.data = {
+            "images": jnp.asarray(dataset.all_images, jnp.float32),
+            "fg_masks": jnp.asarray(dataset.all_fg_masks, jnp.float32),
+            "c2w": jnp.asarray(dataset.all_c2w, jnp.float32),
+            "directions": jnp.asarray(dataset.directions, jnp.float32),
+        }
+        self.w = int(dataset.w)
+        self.h = int(dataset.h)
+        self.n_images = int(self.data["images"].shape[0])
+        self.has_mask = bool(getattr(dataset, "has_mask", False))
+        self.apply_mask = bool(getattr(dataset, "apply_mask", False))
+        self.shared_directions = self.data["directions"].ndim == 3
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, seed: int = 0):
+        rng = jax.random.PRNGKey(seed)
+        rng, k_model = jax.random.split(rng)
+        params = self.model.init(k_model)
+        tx, lr_fn = make_optimizer(
+            self.config.system.optimizer,
+            self.config.system.get("scheduler", None),
+            params,
+        )
+        self.tx = tx
+        self.lr_fn = lr_fn
+        occ = self.model.init_occupancy()
+        return {
+            "params": params,
+            "opt_state": tx.init(params),
+            "occ": occ,
+            "step": jnp.int32(0),
+            "rng": rng,
+        }
+
+    # -- sampling (reference systems/nerf.py:33-85) -------------------------
+    def _sample_rays(self, data, rng):
+        """Per-step random image/pixel sampling, fully on device."""
+        k_img, k_x, k_y = jax.random.split(rng, 3)
+        n = self.train_num_rays
+        if self.batch_image_sampling:
+            idx = jax.random.randint(k_img, (n,), 0, self.n_images)
+        else:
+            idx = jnp.broadcast_to(
+                jax.random.randint(k_img, (), 0, self.n_images), (n,)
+            )
+        x = jax.random.randint(k_x, (n,), 0, self.w)
+        y = jax.random.randint(k_y, (n,), 0, self.h)
+        if self.shared_directions:
+            dirs_cam = data["directions"][y, x]
+        else:
+            dirs_cam = data["directions"][idx, y, x]
+        c2w = data["c2w"][idx]
+        rays_o, rays_d = get_rays(dirs_cam, c2w)
+        rays_d = rays_d / jnp.maximum(
+            jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-10
+        )
+        rgb = data["images"][idx, y, x]
+        fg_mask = data["fg_masks"][idx, y, x]
+        return rays_o, rays_d, rgb, fg_mask
+
+    def _background_color(self, rng, n, train: bool):
+        """white / random / black; validation always renders on white
+        (reference systems/nerf.py:69-76)."""
+        mode = self.background_color_mode if train else "white"
+        if mode == "white" or not train:
+            return jnp.ones((3,), jnp.float32)
+        if mode == "black":
+            return jnp.zeros((3,), jnp.float32)
+        if mode == "random":
+            return jax.random.uniform(rng, (n, 3))
+        raise ValueError(f"Unknown background_color '{mode}'")
+
+    # -- train step ---------------------------------------------------------
+    def loss_fn(self, params, occ, batch, rng, step):
+        raise NotImplementedError
+
+    def make_train_step(self):
+        """Build the jitted train step: sample rays -> forward -> loss ->
+        grads -> optax update. One XLA computation per step."""
+
+        def step_fn(state, data):
+            rng, k_sample, k_bg, k_fwd = jax.random.split(state["rng"], 4)
+            step = state["step"]
+            rays_o, rays_d, rgb, fg_mask = self._sample_rays(data, k_sample)
+            bg = self._background_color(k_bg, self.train_num_rays, train=True)
+            if self.apply_mask:
+                rgb = rgb * fg_mask[:, None] + jnp.broadcast_to(
+                    bg, rgb.shape
+                ) * (1.0 - fg_mask[:, None])
+            batch = {
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                "rgb": rgb,
+                "fg_mask": fg_mask,
+                "background_color": bg,
+            }
+
+            def loss_of(params):
+                return self.loss_fn(params, state["occ"], batch, k_fwd, step)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                state["params"]
+            )
+            updates, opt_state = self.tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            metrics["train/loss"] = loss
+            metrics["train/lr"] = self.lr_fn(step)
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "occ": state["occ"],
+                "step": step + 1,
+                "rng": rng,
+            }
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def make_occ_update(self, warmup: bool):
+        def update_fn(state):
+            rng, k = jax.random.split(state["rng"])
+            occ = self.model.update_occupancy(
+                state["params"], state["occ"], k, step=state["step"], warmup=warmup
+            )
+            return {**state, "occ": occ, "rng": rng}
+
+        return jax.jit(update_fn, donate_argnums=(0,))
+
+    # -- host-side orchestration -------------------------------------------
+    def train_step(self, state):
+        """One host-level training step: amortized grid maintenance + the
+        jitted compute step. Mirrors the reference's on_train_batch_start ->
+        update_module_step -> training_step ordering (systems/base.py:54-57).
+        """
+        step = int(state["step"])
+        if step % self.grid_update_every == 0:
+            key = "occ_warmup" if step < self.grid_warmup_steps else "occ"
+            if key not in self._jitted:
+                self._jitted[key] = self.make_occ_update(
+                    warmup=step < self.grid_warmup_steps
+                )
+            state = self._jitted[key](state)
+        if "train" not in self._jitted:
+            self._jitted["train"] = self.make_train_step()
+        return self._jitted["train"](state, self.data)
+
+    # -- evaluation ---------------------------------------------------------
+    def make_render_chunk(self):
+        """Jitted fixed-size ray-chunk renderer for validation/test."""
+
+        def render_fn(state, rays_o, rays_d):
+            bg = jnp.ones((3,), jnp.float32)
+            return self.forward_eval(
+                state["params"], state["occ"], rays_o, rays_d, bg, state["step"]
+            )
+
+        return jax.jit(render_fn)
+
+    def forward_eval(self, params, occ, rays_o, rays_d, bg, step):
+        raise NotImplementedError
+
+    def render_image(self, state, index: int, data=None):
+        """Render a full validation/test image by fixed-size chunks.
+
+        Returns dict of (H, W, C) numpy arrays. The chunked static-shape eval
+        is the TPU counterpart of the reference's ``chunk_batch``
+        (models/utils.py:13-50).
+        """
+        import numpy as np
+
+        data = data if data is not None else self.data
+        h, w = int(data["images"].shape[1]), int(data["images"].shape[2])
+        if data["directions"].ndim == 3:
+            dirs_cam = data["directions"].reshape(-1, 3)
+        else:
+            dirs_cam = data["directions"][index].reshape(-1, 3)
+        c2w = data["c2w"][index]
+        rays_o, rays_d = get_rays(dirs_cam, c2w)
+        rays_d = rays_d / jnp.maximum(
+            jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-10
+        )
+        n = rays_o.shape[0]
+        chunk = self.eval_chunk_rays
+        if "render" not in self._jitted:
+            self._jitted["render"] = self.make_render_chunk()
+        outs = []
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            ro = rays_o[start:end]
+            rd = rays_d[start:end]
+            if end - start < chunk:  # pad tail to the static chunk size
+                pad = chunk - (end - start)
+                ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+                rd = jnp.concatenate([rd, jnp.ones((pad, 3)) * jnp.array([0.0, 0.0, 1.0])])
+            out = self._jitted["render"](state, ro, rd)
+            outs.append(
+                {k: np.asarray(v)[: end - start] for k, v in out.items()}
+            )
+        merged = {
+            k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
+        images = {}
+        for k, v in merged.items():
+            images[k] = v.reshape(h, w, -1)
+        return images
+
