@@ -49,11 +49,11 @@ def _eval_level_grid(geometry, params, vmin, vmax, resolution, chunk, step=None)
     return out.reshape(resolution, resolution, resolution)
 
 
-def _extract(values, vmin, vmax):
+def _extract(values, vmin, vmax, iso=0.0):
     if _native.native_available():
-        verts, faces = _native.marching_tetrahedra_native(values, 0.0)
+        verts, faces = _native.marching_tetrahedra_native(values, iso)
     else:
-        verts, faces = marching_tetrahedra(values, 0.0)
+        verts, faces = marching_tetrahedra(values, iso)
     res = np.asarray(values.shape, np.float32)
     scale = (np.asarray(vmax) - np.asarray(vmin)) / np.maximum(res - 1.0, 1.0)
     v_world = verts * scale[None, :] + np.asarray(vmin, np.float32)[None, :]
@@ -72,6 +72,10 @@ def extract_isosurface(geometry, params, step=None):
         raise ValueError("geometry config has no `isosurface` section")
     resolution = int(iso_cfg["resolution"])
     chunk = int(iso_cfg.get("chunk", 2097152))
+    # surface at level == -threshold: the density geometry exposes
+    # level = -density and configs set e.g. threshold: 5.0
+    # (reference models/geometry.py:95-96 + configs/nerf-blender.yaml:40)
+    iso = -float(iso_cfg.get("threshold", 0.0))
     r = float(geometry.radius)
 
     vmin = np.array([-r, -r, -r], np.float32)
@@ -79,7 +83,7 @@ def extract_isosurface(geometry, params, step=None):
     coarse_vals = _eval_level_grid(
         geometry, params, vmin, vmax, resolution, chunk, step=step
     )
-    coarse = _extract(coarse_vals, vmin, vmax)
+    coarse = _extract(coarse_vals, vmin, vmax, iso=iso)
     if coarse["v_pos"].shape[0] == 0:
         return coarse
 
@@ -92,4 +96,4 @@ def extract_isosurface(geometry, params, step=None):
     fine_vals = _eval_level_grid(
         geometry, params, f_min, f_max, resolution, chunk, step=step
     )
-    return _extract(fine_vals, f_min, f_max)
+    return _extract(fine_vals, f_min, f_max, iso=iso)

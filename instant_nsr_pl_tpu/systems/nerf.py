@@ -98,6 +98,21 @@ class NeRFSystem(BaseSystem):
         value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
         return {"psnr": value, "images": images, "gt": gt}
 
+    def image_grid_specs(self, res):
+        """Validation panel layout: gt | rgb | depth | opacity (reference
+        systems/nerf.py:140-145)."""
+        imgs = res["images"]
+        return [
+            {"type": "rgb", "img": res["gt"]},
+            {"type": "rgb", "img": imgs["comp_rgb"]},
+            {"type": "grayscale", "img": imgs["depth"], "kwargs": {"cmap": "jet"}},
+            {
+                "type": "grayscale",
+                "img": imgs["opacity"],
+                "kwargs": {"cmap": None, "data_range": (0, 1)},
+            },
+        ]
+
 
 def _is_zero(v):
     return isinstance(v, (int, float)) and float(v) == 0.0

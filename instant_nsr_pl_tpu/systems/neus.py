@@ -189,6 +189,23 @@ class NeuSSystem(BaseSystem):
         value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
         return {"psnr": value, "images": images, "gt": gt}
 
+    def image_grid_specs(self, res):
+        """Validation panels: gt | rgb_full | [fg | bg] | depth | normal
+        (reference systems/neus.py:171-186)."""
+        imgs = res["images"]
+        specs = [
+            {"type": "rgb", "img": res["gt"]},
+            {"type": "rgb", "img": imgs["comp_rgb"]},
+        ]
+        if "comp_rgb_fg" in imgs:
+            specs.append({"type": "rgb", "img": imgs["comp_rgb_fg"]})
+            specs.append({"type": "rgb", "img": imgs["comp_rgb_bg"]})
+        specs.append(
+            {"type": "grayscale", "img": imgs["depth"], "kwargs": {"cmap": "jet"}}
+        )
+        specs.append({"type": "normal", "img": imgs["comp_normal"]})
+        return specs
+
 
 def _is_zero(v):
     return isinstance(v, (int, float)) and float(v) == 0.0
