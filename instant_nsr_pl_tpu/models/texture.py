@@ -29,8 +29,13 @@ class VolumeRadiance:
         self.network = get_mlp(
             self.n_input_dims, self.n_output_dims, config.mlp_network_config
         )
-        self.color_activation = get_activation(
-            config.get("color_activation", "sigmoid")
+        # Applied ONLY when configured (reference models/texture.py:33-35):
+        # the NeRF configs put Sigmoid on the MLP's output_activation instead,
+        # and applying both would clamp rgb into sigmoid([0,1]) = [.5, .73].
+        self.color_activation = (
+            get_activation(config.color_activation)
+            if "color_activation" in config
+            else None
         )
 
     def init(self, rng):
@@ -48,7 +53,9 @@ class VolumeRadiance:
             [features, dirs_embd] + list(extras), axis=-1
         ).astype(jnp.float32)
         color = self.network.apply(params["network"], inp, step=step)
-        return self.color_activation(color)
+        if self.color_activation is not None:
+            color = self.color_activation(color)
+        return color
 
 
 @models.register("volume-color")
@@ -60,8 +67,10 @@ class VolumeColor:
         self.network = get_mlp(
             self.n_input_dims, self.n_output_dims, config.mlp_network_config
         )
-        self.color_activation = get_activation(
-            config.get("color_activation", "sigmoid")
+        self.color_activation = (
+            get_activation(config.color_activation)
+            if "color_activation" in config
+            else None
         )
 
     def init(self, rng):
@@ -71,4 +80,6 @@ class VolumeColor:
         color = self.network.apply(
             params["network"], features.astype(jnp.float32), step=step
         )
-        return self.color_activation(color)
+        if self.color_activation is not None:
+            color = self.color_activation(color)
+        return color

@@ -176,7 +176,11 @@ def test_march_rays_stratified_jitter_and_capacity_clip():
         stratified=True, rng=jax.random.PRNGKey(0),
     )
     assert out.valid.all()  # buffer saturated
-    assert int(out.num_valid) == 32
+    # num_valid reports the PRE-truncation live count so callers can see
+    # overflow; ray_kept flags rays whose samples all fit
+    assert int(out.num_valid) > 32
+    kept = np.asarray(out.ray_kept)
+    assert kept[0] and not kept[-1]  # first ray fits, later rays truncated
     # jitter shifts the first sample start into (1.5, 1.6)
     assert 1.5 < float(out.t_starts[0]) < 1.6
     # sorted by ray

@@ -220,7 +220,7 @@ def test_nerf_system_trains():
     assert np.isfinite(last["train/loss"])
     assert last["train/loss"] < first_metrics["train/loss"]
     assert last["train/psnr"] > first_metrics["train/psnr"]
-    assert last["train/psnr"] > 13.0, last
+    assert last["train/psnr"] > 15.0, last
 
     # validation render on the val split
     val = dm.val
