@@ -1,3 +1,8 @@
 """Dataset loaders (the reference's datasets/ package role)."""
 
-from instant_nsr_pl_tpu.datasets import blender, synthetic  # noqa: F401
+from instant_nsr_pl_tpu.datasets import (  # noqa: F401
+    blender,
+    colmap,
+    dtu,
+    synthetic,
+)

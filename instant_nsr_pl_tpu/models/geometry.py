@@ -110,6 +110,13 @@ class VolumeSDF(BaseImplicitGeometry):
             self.encoding.n_output_dims, self.n_output_dims, config.mlp_network_config
         )
         self.grad_type = str(config.get("grad_type", "analytic"))
+        if self.grad_type == "analytic":
+            # the eikonal loss differentiates THROUGH the analytic SDF
+            # gradient, so the encoding must stay autodiff-differentiable at
+            # second order — the custom-VJP fast path is first-order only
+            inner = getattr(self.encoding, "encoding", None)
+            if inner is not None and hasattr(inner, "grad_mode"):
+                inner.grad_mode = "autodiff"
         self.fd_eps_config = config.get("finite_difference_eps", 1e-3)
         self.sdf_activation = (
             get_activation(config.sdf_activation) if "sdf_activation" in config else None

@@ -68,6 +68,19 @@ class NeRFModel:
             contraction_type=self.contraction_type,
         )
         self.occ_thre = float(config.get("grid_prune_occ_thre", 0.01))
+        # strided occupancy probing (uniform stepping only): one dilated-grid
+        # probe per group of k samples; k bounded so the group stays within
+        # one dilation radius of its center
+        if self.cone_angle == 0.0:
+            cell = 2.0 * self.radius / self.occupancy_grid_res
+            auto = int(2.0 * cell / self.render_step_size)
+            self.occ_stride = int(
+                config.get("grid_lookup_stride", min(8, max(1, auto)))
+            )
+            while self.num_samples_per_ray % self.occ_stride:
+                self.occ_stride -= 1
+        else:
+            self.occ_stride = 1
 
     # -- state ------------------------------------------------------------
     def init(self, rng):
@@ -81,7 +94,7 @@ class NeRFModel:
         return {"grid": occupancy_grid_init(self.occ_spec)}
 
     # -- occupancy maintenance (reference models/nerf.py:45-55) -----------
-    def update_occupancy(self, params, occ, rng, step=None, warmup=False):
+    def update_occupancy(self, params, occ, rng, step=None, warmup=False, mesh=None):
         if not self.grid_prune:
             return occ
 
@@ -92,7 +105,7 @@ class NeRFModel:
 
         grid = occupancy_grid_update(
             occ["grid"], self.occ_spec, rng, occ_eval_fn,
-            occ_thre=self.occ_thre, warmup=warmup,
+            occ_thre=self.occ_thre, warmup=warmup, mesh=mesh,
         )
         return {"grid": grid}
 
@@ -141,6 +154,8 @@ class NeRFModel:
             rng=rng,
             occ_binary=occ["grid"].binary if self.grid_prune else None,
             occ_spec=self.occ_spec,
+            occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
+            occ_stride=self.occ_stride,
         )
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, intervals = packed_positions(samples, rays_o, rays_d)

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.ops.activations import get_activation
-from instant_nsr_pl_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_init
+from instant_nsr_pl_tpu.ops.hashgrid import (
+    HashGridSpec,
+    hashgrid_encode,
+    hashgrid_encode_fast,
+    hashgrid_init,
+)
 from instant_nsr_pl_tpu.ops.mlp import MLPSpec, mlp_apply, mlp_init
 from instant_nsr_pl_tpu.ops.sh import sh_output_dim, spherical_harmonics_encoding
 
@@ -56,18 +61,32 @@ class VanillaFrequency:
 
 
 class HashGridEncoding:
-    """Plain multiresolution hash grid (tcnn ``HashGrid`` role)."""
+    """Plain multiresolution hash grid (tcnn ``HashGrid`` role).
+
+    ``grad_mode`` ('fast' default): the training hot path uses the custom-VJP
+    MXU table gradient (ops/hashgrid.py). Geometries that differentiate the
+    encoding at second order (NeuS analytic eikonal) switch it to 'autodiff'.
+    """
 
     def __init__(self, in_channels, config):
         self.spec = HashGridSpec.from_config(config, n_input_dims=in_channels)
         self.n_input_dims = in_channels
         self.n_output_dims = self.spec.n_output_dims
+        # the MXU one-hot-matmul backward only pays off on TPU; CPU (tests)
+        # keeps the plain autodiff scatter
+        default_mode = "fast" if jax.default_backend() == "tpu" else "autodiff"
+        self.grad_mode = str(config.get("grad_mode", default_mode))
 
     def init(self, rng):
         return {"table": hashgrid_init(rng, self.spec)}
 
+    def _encode(self, table, x, level_mask=None):
+        if self.grad_mode == "fast":
+            return hashgrid_encode_fast(table, x, self.spec, level_mask)
+        return hashgrid_encode(table, x, self.spec, level_mask)
+
     def apply(self, params, x, step=None):
-        return hashgrid_encode(params["table"], x, self.spec)
+        return self._encode(params["table"], x)
 
 
 class ProgressiveBandHashGrid(HashGridEncoding):
@@ -95,7 +114,7 @@ class ProgressiveBandHashGrid(HashGridEncoding):
             mask = (
                 jnp.arange(self.spec.n_levels) < lvl
             ).astype(jnp.float32)
-        return hashgrid_encode(params["table"], x, self.spec, level_mask=mask)
+        return self._encode(params["table"], x, level_mask=mask)
 
 
 class SphericalHarmonicsEncoding:

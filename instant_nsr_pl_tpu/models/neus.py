@@ -78,6 +78,13 @@ class NeuSModel:
         self.num_samples_per_ray = int(config.num_samples_per_ray)
         self.render_step_size = 1.732 * 2.0 * self.radius / self.num_samples_per_ray
         self.grid_prune = bool(config.get("grid_prune", True))
+        cell = 2.0 * self.radius / 128
+        auto = int(2.0 * cell / self.render_step_size)
+        self.occ_stride = int(
+            config.get("grid_lookup_stride", min(8, max(1, auto)))
+        )
+        while self.num_samples_per_ray % self.occ_stride:
+            self.occ_stride -= 1
         self.occ_thre = float(config.get("grid_prune_occ_thre", 0.01))
         self.occ_spec = OccGridSpec(
             resolution=128, radius=self.radius, contraction_type=ContractionType.AABB
@@ -129,7 +136,7 @@ class NeuSModel:
         return jnp.minimum(1.0, jnp.asarray(step, jnp.float32) / self.cos_anneal_end)
 
     # -- occupancy maintenance (reference models/neus.py:94-111) -----------
-    def update_occupancy(self, params, occ, rng, step=None, warmup=False):
+    def update_occupancy(self, params, occ, rng, step=None, warmup=False, mesh=None):
         if not self.grid_prune:
             return occ
         inv_s = jnp.clip(self.variance.inv_s(params["variance"]), 1e-6, 1e6)
@@ -148,7 +155,7 @@ class NeuSModel:
         new = {
             "grid": occupancy_grid_update(
                 occ["grid"], self.occ_spec, k_fg, occ_eval_fn,
-                occ_thre=self.occ_thre, warmup=warmup,
+                occ_thre=self.occ_thre, warmup=warmup, mesh=mesh,
             )
         }
         if self.learned_background:
@@ -159,7 +166,7 @@ class NeuSModel:
 
             new["grid_bg"] = occupancy_grid_update(
                 occ["grid_bg"], self.occ_spec_bg, k_bg, occ_eval_fn_bg,
-                occ_thre=self.occ_thre_bg, warmup=warmup,
+                occ_thre=self.occ_thre_bg, warmup=warmup, mesh=mesh,
             )
         return new
 
@@ -265,6 +272,8 @@ class NeuSModel:
             rng=rng,
             occ_binary=occ["grid"].binary if self.grid_prune else None,
             occ_spec=self.occ_spec,
+            occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
+            occ_stride=self.occ_stride,
         )
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, dists = packed_positions(samples, rays_o, rays_d)

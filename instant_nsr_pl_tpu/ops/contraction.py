@@ -42,6 +42,30 @@ def contract_to_unisphere(x, radius, contraction_type: ContractionType):
         raise NotImplementedError(contraction_type)
 
 
+def contract_coords(px, py, pz, radius, contraction_type: ContractionType):
+    """Coordinate-wise variant of :func:`contract_to_unisphere` for TPU-
+    friendly layouts: takes/returns three (...,) arrays instead of one
+    (..., 3) array whose unit trailing axis XLA would pad to a full
+    (8, 128) tile (up to 42x memory blow-up on big sample grids)."""
+    if contraction_type == ContractionType.AABB:
+        s = 0.5 / radius
+        return (px * s + 0.5, py * s + 0.5, pz * s + 0.5)
+    elif contraction_type == ContractionType.UN_BOUNDED_SPHERE:
+        xs = px / radius
+        ys = py / radius
+        zs = pz / radius
+        mag = jnp.sqrt(xs * xs + ys * ys + zs * zs)
+        safe = jnp.maximum(mag, 1e-12)
+        scale = jnp.where(mag > 1.0, (2.0 - 1.0 / safe) / safe, 1.0)
+        return (
+            xs * scale / 4.0 + 0.5,
+            ys * scale / 4.0 + 0.5,
+            zs * scale / 4.0 + 0.5,
+        )
+    else:
+        raise NotImplementedError(contraction_type)
+
+
 def uncontract_from_unisphere(u, radius, contraction_type: ContractionType):
     """Inverse of :func:`contract_to_unisphere` (needed to place occupancy-grid
     cell samples back into world space — the role of nerfacc's grid

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.ops.contraction import (
     ContractionType,
-    contract_to_unisphere,
+    contract_coords,
     uncontract_from_unisphere,
 )
 
@@ -52,10 +52,13 @@ class OccGridSpec:
 
 class OccupancyGridState(NamedTuple):
     """EMA occupancy values + binarized field, flattened x-fastest
-    (``i = x + y*R + z*R^2``)."""
+    (``i = x + y*R + z*R^2``). ``binary_dilated`` is the 3^3 max-pool of
+    ``binary`` — a conservative superset used by the strided march lookup
+    (one occupancy probe per group of consecutive samples)."""
 
     occs: jax.Array  # (R^3,) float32
     binary: jax.Array  # (R^3,) bool
+    binary_dilated: jax.Array  # (R^3,) bool
 
 
 def occupancy_grid_init(spec: OccGridSpec) -> OccupancyGridState:
@@ -63,7 +66,17 @@ def occupancy_grid_init(spec: OccGridSpec) -> OccupancyGridState:
     return OccupancyGridState(
         occs=jnp.zeros((n,), jnp.float32),
         binary=jnp.zeros((n,), bool),
+        binary_dilated=jnp.zeros((n,), bool),
     )
+
+
+def _dilate_binary(binary, resolution):
+    """3^3 max-pool of the flattened binary field."""
+    b = binary.reshape(resolution, resolution, resolution)
+    d = jax.lax.reduce_window(
+        b, False, jax.lax.bitwise_or, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    return d.reshape(-1)
 
 
 def _cell_coords(indices, resolution):
@@ -81,6 +94,7 @@ def occupancy_grid_update(
     occ_thre: float = 0.01,
     ema_decay: float = 0.95,
     warmup: bool = False,
+    mesh=None,
 ):
     """One nerfacc-style grid update. ``warmup`` (static) evaluates every cell
     (nerfacc: first 256 steps); otherwise samples ``num_cells // 4`` uniform
@@ -88,6 +102,12 @@ def occupancy_grid_update(
 
     ``occ_eval_fn`` maps world positions (M, 3) -> occupancy values (M,)
     (density * step for NeRF, the NeuS alpha estimator for NeuS).
+
+    With ``mesh`` (a 1-D device mesh with axis 'dp'), the expensive field
+    evaluations are sharded over cells across devices and the results
+    all-gathered, so every chip applies the identical update — the collective
+    grid maintenance the reference's per-rank nerfacc grids never do
+    (SURVEY.md §2c).
     """
     res = spec.resolution
     n = spec.num_cells
@@ -113,22 +133,67 @@ def occupancy_grid_update(
     unit = (coords + jitter) / res  # position in the contracted [0,1]^3 cube
     world = uncontract_from_unisphere(unit, spec.radius, spec.contraction_type)
 
-    occ = jnp.asarray(occ_eval_fn(world)).reshape(-1)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        m = world.shape[0]
+        pad = (-m) % n_dev
+        world_p = jnp.pad(world, ((0, pad), (0, 0)))
+        eval_sharded = jax.shard_map(
+            lambda w: jnp.asarray(occ_eval_fn(w)).reshape(-1),
+            mesh=mesh,
+            in_specs=P("dp"),
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        occ = eval_sharded(world_p)[:m]
+    else:
+        occ = jnp.asarray(occ_eval_fn(world)).reshape(-1)
     occ = jax.lax.stop_gradient(occ)
     new_vals = jnp.maximum(state.occs[indices] * ema_decay, occ)
     occs = state.occs.at[indices].set(new_vals)
     thre = jnp.minimum(occs.mean(), occ_thre)
     binary = occs > thre
-    return OccupancyGridState(occs=occs, binary=binary)
+    return OccupancyGridState(
+        occs=occs,
+        binary=binary,
+        binary_dilated=_dilate_binary(binary, res),
+    )
 
 
 def occupancy_lookup(binary, positions, spec: OccGridSpec):
     """Query the binary field at world positions (..., 3) -> bool (...)."""
-    u = contract_to_unisphere(positions, spec.radius, spec.contraction_type)
+    return occupancy_lookup_coords(
+        binary,
+        positions[..., 0],
+        positions[..., 1],
+        positions[..., 2],
+        spec,
+    )
+
+
+def occupancy_lookup_coords(binary, px, py, pz, spec: OccGridSpec, clamp=False):
+    """Coordinate-wise occupancy query (TPU layout: avoids (..., 3) arrays
+    whose unit trailing axis XLA pads to a (8,128) tile).
+
+    ``clamp=True`` clamps out-of-domain probes onto the boundary cell instead
+    of returning False — used by the strided group probe, where group centers
+    can fall just outside the domain while group members are inside (range
+    validity is enforced separately per sample)."""
+    ux, uy, uz = contract_coords(px, py, pz, spec.radius, spec.contraction_type)
     res = spec.resolution
-    cell = jnp.clip(jnp.floor(u * res).astype(jnp.int32), 0, res - 1)
-    flat = cell[..., 0] + cell[..., 1] * res + cell[..., 2] * res * res
-    inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    cx = jnp.clip(jnp.floor(ux * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip(jnp.floor(uy * res).astype(jnp.int32), 0, res - 1)
+    cz = jnp.clip(jnp.floor(uz * res).astype(jnp.int32), 0, res - 1)
+    flat = cx + cy * res + cz * res * res
+    if clamp:
+        return binary[flat]
+    inside = (
+        (ux >= 0.0) & (ux < 1.0)
+        & (uy >= 0.0) & (uy < 1.0)
+        & (uz >= 0.0) & (uz < 1.0)
+    )
     return binary[flat] & inside
 
 
@@ -186,6 +251,8 @@ def march_rays(
     rng=None,
     occ_binary=None,
     occ_spec: OccGridSpec | None = None,
+    occ_dilated=None,
+    occ_stride: int = 1,
 ) -> PackedSamples:
     """March rays, prune with the occupancy grid, compact to ``capacity``.
 
@@ -199,6 +266,13 @@ def march_rays(
       stratified: jitter the per-ray start by U(0,1)*s (nerfacc's stratified).
       rng: PRNG key, required when stratified.
       occ_binary / occ_spec: optional binary occupancy field for pruning.
+      occ_dilated / occ_stride: with stride k > 1, one occupancy probe per
+        group of k consecutive samples against the DILATED field (probes are
+        ~10 ns each on TPU — 8.4M per step at the reference workload — so
+        the k-fold reduction matters; dilation keeps pruning conservative:
+        extra passed samples only consume capacity, never bias the render).
+        Requires uniform stepping (cone_angle == 0) and
+        k * render_step_size <= 2 * cell_size.
     """
     R = rays_o.shape[0]
     S = max_samples
@@ -216,8 +290,27 @@ def march_rays(
 
     valid = t_mid < t_max[:, None]  # (R, S)
     if occ_binary is not None:
-        positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
-        occ = occupancy_lookup(occ_binary, positions, occ_spec)
+        if occ_stride > 1 and occ_dilated is not None:
+            assert cone_angle <= 0.0, "strided lookup needs uniform stepping"
+            assert S % occ_stride == 0, (S, occ_stride)
+            s_g = S // occ_stride
+            # group-center distances: midpoint of each k-sample group
+            t_c = 0.5 * (
+                t_bounds[:, : S : occ_stride] + t_bounds[:, occ_stride::occ_stride]
+            )  # (R, S/k)
+            px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_c
+            py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_c
+            pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_c
+            occ_g = occupancy_lookup_coords(
+                occ_dilated, px, py, pz, occ_spec, clamp=True
+            )
+            occ = jnp.repeat(occ_g, occ_stride, axis=1)  # (R, S)
+        else:
+            # per-coordinate (R, S) arrays; never materialize (R, S, 3)
+            px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_mid
+            py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_mid
+            pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_mid
+            occ = occupancy_lookup_coords(occ_binary, px, py, pz, occ_spec)
         valid = valid & occ
 
     # compact: ray-major flat order keeps packed samples sorted by ray

@@ -128,10 +128,12 @@ class BaseSystem:
         }
 
     # -- sampling (reference systems/nerf.py:33-85) -------------------------
-    def _sample_rays(self, data, rng):
-        """Per-step random image/pixel sampling, fully on device."""
+    def _sample_rays(self, data, rng, n=None):
+        """Per-step random image/pixel sampling, fully on device. ``n``
+        overrides the global ray count (per-device count under data
+        parallelism)."""
         k_img, k_x, k_y = jax.random.split(rng, 3)
-        n = self.train_num_rays
+        n = n if n is not None else self.train_num_rays
         if self.batch_image_sampling:
             idx = jax.random.randint(k_img, (n,), 0, self.n_images)
         else:
@@ -166,7 +168,9 @@ class BaseSystem:
         raise ValueError(f"Unknown background_color '{mode}'")
 
     # -- train step ---------------------------------------------------------
-    def loss_fn(self, params, occ, batch, rng, step):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
+        """(loss, metrics). ``n_rays``/``capacity`` default to the global
+        static sizes; the data-parallel plan passes per-device sizes."""
         raise NotImplementedError
 
     def make_train_step(self):
@@ -223,22 +227,37 @@ class BaseSystem:
 
         return jax.jit(update_fn, donate_argnums=(0,))
 
+    # -- parallelism --------------------------------------------------------
+    def configure_parallel(self, mesh):
+        """Switch training to the data-parallel shard_map plan over ``mesh``
+        (the reference's DDP role; see parallel/data_parallel.py)."""
+        from instant_nsr_pl_tpu.parallel.data_parallel import DataParallelPlan
+
+        self._plan = DataParallelPlan(self, mesh)
+        self._jitted.pop("train", None)
+        self._jitted.pop("occ", None)
+        self._jitted.pop("occ_warmup", None)
+        return self._plan
+
     # -- host-side orchestration -------------------------------------------
     def train_step(self, state):
         """One host-level training step: amortized grid maintenance + the
         jitted compute step. Mirrors the reference's on_train_batch_start ->
         update_module_step -> training_step ordering (systems/base.py:54-57).
         """
+        plan = getattr(self, "_plan", None)
         step = int(state["step"])
         if step % self.grid_update_every == 0:
             key = "occ_warmup" if step < self.grid_warmup_steps else "occ"
             if key not in self._jitted:
-                self._jitted[key] = self.make_occ_update(
+                maker = plan.make_occ_update if plan else self.make_occ_update
+                self._jitted[key] = maker(
                     warmup=step < self.grid_warmup_steps
                 )
             state = self._jitted[key](state)
         if "train" not in self._jitted:
-            self._jitted["train"] = self.make_train_step()
+            maker = plan.make_train_step if plan else self.make_train_step
+            self._jitted["train"] = maker()
         return self._jitted["train"](state, self.data)
 
     # -- evaluation ---------------------------------------------------------

@@ -21,15 +21,17 @@ from instant_nsr_pl_tpu.ops.rendering import distortion_loss
 
 @systems.register("nerf-system")
 class NeRFSystem(BaseSystem):
-    def loss_fn(self, params, occ, batch, rng, step):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
         loss_cfg = self.config.system.loss
+        n_rays = n_rays if n_rays is not None else self.train_num_rays
+        capacity = capacity if capacity is not None else self.train_capacity
         out = self.model.forward(
             params,
             occ,
             batch["rays_o"],
             batch["rays_d"],
             background_color=batch["background_color"],
-            capacity=self.train_capacity,
+            capacity=capacity,
             rng=rng,
             step=step,
             randomized=self.randomized,
@@ -57,7 +59,7 @@ class NeRFSystem(BaseSystem):
                 out["intervals"],
                 out["ray_indices"],
                 out["sample_valid"],
-                n_rays=self.train_num_rays,
+                n_rays=n_rays,
             )
             metrics["train/loss_distortion"] = loss_dist
             loss = loss + loss_dist * C(lambda_dist, step)

@@ -48,16 +48,21 @@ class NeuSSystem(BaseSystem):
             self.train_capacity_bg = self.train_capacity
             self.eval_capacity_bg = self.eval_capacity
 
-    def loss_fn(self, params, occ, batch, rng, step):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
         cfg = self.config.system.loss
+        n_rays = n_rays if n_rays is not None else self.train_num_rays
+        if capacity is not None:
+            capacity_bg = self.train_capacity_bg * capacity // self.train_capacity
+        else:
+            capacity, capacity_bg = self.train_capacity, self.train_capacity_bg
         out = self.model.forward(
             params,
             occ,
             batch["rays_o"],
             batch["rays_d"],
             background_color=batch["background_color"],
-            capacity=self.train_capacity,
-            capacity_bg=self.train_capacity_bg,
+            capacity=capacity,
+            capacity_bg=capacity_bg,
             rng=rng,
             step=step,
             randomized=self.randomized,
@@ -133,7 +138,7 @@ class NeuSSystem(BaseSystem):
             loss_dist = distortion_loss(
                 out["weights"], out["points"], out["intervals"],
                 out["ray_indices"], out["sample_valid"],
-                n_rays=self.train_num_rays,
+                n_rays=n_rays,
             )
             metrics["train/loss_distortion"] = loss_dist
             loss = loss + loss_dist * C(cfg.lambda_distortion, step)
@@ -143,7 +148,7 @@ class NeuSSystem(BaseSystem):
             loss_dist_bg = distortion_loss(
                 out["weights_bg"], out["points_bg"], out["intervals_bg"],
                 out["ray_indices_bg"], out["sample_valid_bg"],
-                n_rays=self.train_num_rays,
+                n_rays=n_rays,
             )
             metrics["train/loss_distortion_bg"] = loss_dist_bg
             loss = loss + loss_dist_bg * C(cfg.lambda_distortion_bg, step)
