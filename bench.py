@@ -105,15 +105,15 @@ def main():
 
     # warm up: compile both occ-update variants + the train step, and let the
     # occupancy grid converge a little so the steady-state packing is realistic
-    for _ in range(48):
+    for _ in range(24):
         state, metrics = system.train_step(state)
-    jax.block_until_ready(metrics["train/loss"])
+    float(metrics["train/loss"])  # fetch = the only true sync on this runtime
 
-    n_steps = 192
+    n_steps = 96
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = system.train_step(state)
-    jax.block_until_ready(metrics["train/loss"])
+    float(metrics["train/loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = system.train_num_rays * n_steps / dt
