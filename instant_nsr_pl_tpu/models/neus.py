@@ -289,6 +289,16 @@ class NeuSModel:
                 with_grad=True, with_feature=True,
             )
             sdf_laplace = None
+        # an EXACTLY zero gradient (padding samples with collapsed clipped
+        # stencils, or locally-constant SDF under progressive masking) makes
+        # sqrt(0) in the norm backward poison the step with NaNs even where
+        # masked (0 * NaN = NaN) — substitute a safe unit vector
+        grad_norm2 = (sdf_grad * sdf_grad).sum(-1, keepdims=True)
+        sdf_grad = jnp.where(
+            (grad_norm2 > 1e-20) & samples.valid[:, None],
+            sdf_grad,
+            jnp.float32(1.0 / math.sqrt(3.0)),
+        )
         normal = sdf_grad / jnp.maximum(
             jnp.linalg.norm(sdf_grad, axis=-1, keepdims=True), 1e-10
         )
