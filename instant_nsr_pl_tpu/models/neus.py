@@ -129,6 +129,24 @@ class NeuSModel:
             occ["grid_bg"] = occupancy_grid_init(self.occ_spec_bg)
         return occ
 
+    def init_extra_state(self):
+        """Non-gradient training state beyond the occupancy grids: the
+        pre-modulation inv_s snapshot used by the variance-modulation clamp
+        (reference models/neus.py:30-43, Python-side mutation there)."""
+        if self.variance.modulate:
+            return {"prev_inv_s": jnp.exp(jnp.float32(self.variance.init_val) * 10.0)}
+        return {}
+
+    def update_extra_state(self, params, extra, step):
+        """Pure per-step update: snapshot inv_s until modulation starts."""
+        if not self.variance.modulate:
+            return extra
+        raw = jnp.exp(params["variance"]["variance"] * 10.0)
+        prev = jnp.where(
+            step <= self.variance.mod_start_steps, raw, extra["prev_inv_s"]
+        )
+        return {**extra, "prev_inv_s": prev}
+
     def cos_anneal_ratio(self, step):
         """Grows 0 -> 1 over cos_anneal_end steps (reference models/neus.py:92)."""
         if self.cos_anneal_end == 0 or step is None:

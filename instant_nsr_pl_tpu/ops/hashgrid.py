@@ -12,12 +12,14 @@ tcnn's level layout:
   ``(x) ^ (y*2654435761) ^ (z*805459861) mod T`` with uint32 arithmetic
 - trilinear interpolation over the 8 cell corners of ``pos = x*s_l + 0.5``
 
-This module is the differentiable pure-JAX path: the backward pass (a
-scatter-add into the hash table) is generated by autodiff via the gather
-transpose, which keeps it differentiable at second order — required when the
-eikonal loss backprops through analytic SDF gradients (reference:
-models/geometry.py:176-180). A Pallas kernel path with a hand-written
-fwd/bwd lives in ``ops/pallas/hash_encode.py``; both share this level layout.
+Two differentiation paths share the level layout:
+
+- ``hashgrid_encode``: pure autodiff (scatter-add backward), differentiable
+  at arbitrary order — required when the eikonal loss backprops through
+  analytic SDF gradients (reference: models/geometry.py:176-180);
+- ``hashgrid_encode_fast``: custom VJP whose hand-written table gradient
+  runs as one-hot matmuls on the MXU (XLA lowers TPU scatter to a serial
+  loop; see PERF.md for measurements) — the training hot path.
 """
 
 from __future__ import annotations

@@ -3,9 +3,10 @@
 Replaces tcnn's fused fp16 MLPs and the reference's ``VanillaMLP``
 (reference: models/network_utils.py:95-215). On TPU the MXU wants big batched
 matmuls — XLA already fuses a short chain of 64-wide matmuls + elementwise
-activations into a handful of kernels, so the baseline path is plain jnp with
-bf16 inputs / fp32 accumulation via ``preferred_element_type``. A Pallas
-VMEM-resident variant lives in ``ops/pallas/fused_mlp.py`` for the hot path.
+activations into a handful of kernels, so the right design is plain jnp with
+bf16 inputs / fp32 accumulation via ``preferred_element_type``; profiling
+(PERF.md) shows the MLPs are nowhere near the hot spots, so no hand kernel
+is warranted here.
 
 Two precision policies mirror the reference:
 - "fused" MLPs (density/color heads) run matmuls in bf16 with fp32 accum

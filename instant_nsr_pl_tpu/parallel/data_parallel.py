@@ -64,7 +64,7 @@ class DataParallelPlan:
         # systems size their forward by these; swap in the per-device values
         # inside the sharded body (static Python ints — safe to mutate around
         # trace time since make_train_step is called once per compilation)
-        def body(keys, params, opt_state, occ, step, data):
+        def body(keys, params, opt_state, occ, extra, step, data):
             # keys: (1, 2) — this device's base key
             key = keys[0]
             k_sample, k_bg, k_fwd = jax.random.split(key, 3)
@@ -88,6 +88,7 @@ class DataParallelPlan:
                 return system.loss_fn(
                     p, occ, batch, k_fwd, step,
                     n_rays=rays_per_dev, capacity=capacity_per_dev,
+                    extra=extra,
                 )
 
             (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -109,7 +110,7 @@ class DataParallelPlan:
         sharded_body = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P()),
+            in_specs=(P("dp"), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -122,6 +123,7 @@ class DataParallelPlan:
                 state["params"],
                 state["opt_state"],
                 state["occ"],
+                state.get("extra", {}),
                 state["step"],
                 data,
             )
@@ -130,10 +132,16 @@ class DataParallelPlan:
             )
             params = optax.apply_updates(state["params"], updates)
             metrics["train/lr"] = system.lr_fn(state["step"])
+            extra = state.get("extra", {})
+            if hasattr(system.model, "update_extra_state"):
+                extra = system.model.update_extra_state(
+                    params, extra, state["step"]
+                )
             return {
                 "params": params,
                 "opt_state": opt_state,
                 "occ": state["occ"],
+                "extra": extra,
                 "step": state["step"] + 1,
                 "rng": rng,
             }, metrics

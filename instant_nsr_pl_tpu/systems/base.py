@@ -119,10 +119,12 @@ class BaseSystem:
         self.tx = tx
         self.lr_fn = lr_fn
         occ = self.model.init_occupancy()
+        extra = getattr(self.model, "init_extra_state", dict)()
         return {
             "params": params,
             "opt_state": tx.init(params),
             "occ": occ,
+            "extra": extra,
             "step": jnp.int32(0),
             "rng": rng,
         }
@@ -168,9 +170,12 @@ class BaseSystem:
         raise ValueError(f"Unknown background_color '{mode}'")
 
     # -- train step ---------------------------------------------------------
-    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None,
+                extra=None):
         """(loss, metrics). ``n_rays``/``capacity`` default to the global
-        static sizes; the data-parallel plan passes per-device sizes."""
+        static sizes; the data-parallel plan passes per-device sizes.
+        ``extra`` carries model-specific non-gradient state (e.g. NeuS's
+        pre-modulation inv_s snapshot)."""
         raise NotImplementedError
 
     def make_train_step(self):
@@ -195,7 +200,10 @@ class BaseSystem:
             }
 
             def loss_of(params):
-                return self.loss_fn(params, state["occ"], batch, k_fwd, step)
+                return self.loss_fn(
+                    params, state["occ"], batch, k_fwd, step,
+                    extra=state.get("extra"),
+                )
 
             (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
                 state["params"]
@@ -206,10 +214,14 @@ class BaseSystem:
             params = optax.apply_updates(state["params"], updates)
             metrics["train/loss"] = loss
             metrics["train/lr"] = self.lr_fn(step)
+            extra = state.get("extra", {})
+            if hasattr(self.model, "update_extra_state"):
+                extra = self.model.update_extra_state(params, extra, step)
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
                 "occ": state["occ"],
+                "extra": extra,
                 "step": step + 1,
                 "rng": rng,
             }

@@ -21,7 +21,8 @@ from instant_nsr_pl_tpu.ops.rendering import distortion_loss
 
 @systems.register("nerf-system")
 class NeRFSystem(BaseSystem):
-    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None,
+                extra=None):
         loss_cfg = self.config.system.loss
         n_rays = n_rays if n_rays is not None else self.train_num_rays
         capacity = capacity if capacity is not None else self.train_capacity

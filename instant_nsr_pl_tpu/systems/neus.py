@@ -48,7 +48,8 @@ class NeuSSystem(BaseSystem):
             self.train_capacity_bg = self.train_capacity
             self.eval_capacity_bg = self.eval_capacity
 
-    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None):
+    def loss_fn(self, params, occ, batch, rng, step, n_rays=None, capacity=None,
+                extra=None):
         cfg = self.config.system.loss
         n_rays = n_rays if n_rays is not None else self.train_num_rays
         if capacity is not None:
@@ -67,6 +68,7 @@ class NeuSSystem(BaseSystem):
             step=step,
             randomized=self.randomized,
             train=True,
+            prev_inv_s=(extra or {}).get("prev_inv_s"),
         )
         ray_mask = (
             out["rays_valid_full"][:, 0] & out["rays_kept_full"]

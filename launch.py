@@ -70,6 +70,22 @@ def main():
 
     dm = datasets.make(config.dataset.name, config.dataset)
     system = systems.make(config.system.name, config)
+
+    # data-parallel mesh over the requested chip count (the reference's
+    # `--gpu 0,1,...` DDP role). Default: single-device; `--devices all`
+    # uses every visible chip.
+    import jax
+
+    n_devices = None
+    if args.devices is not None:
+        n_devices = (
+            len(jax.devices()) if args.devices == "all" else int(args.devices)
+        )
+    if n_devices is not None and n_devices > 1:
+        from instant_nsr_pl_tpu.parallel import make_mesh
+
+        system.configure_parallel(make_mesh(n_devices))
+
     trainer = Trainer(config, exp_dir, runs_dir=runs_dir)
 
     snapshot_code(os.path.join(exp_dir, "code"))
