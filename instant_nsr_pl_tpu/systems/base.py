@@ -120,7 +120,7 @@ class BaseSystem:
         self.lr_fn = lr_fn
         occ = self.model.init_occupancy()
         extra = getattr(self.model, "init_extra_state", dict)()
-        return {
+        state = {
             "params": params,
             "opt_state": tx.init(params),
             "occ": occ,
@@ -128,6 +128,14 @@ class BaseSystem:
             "step": jnp.int32(0),
             "rng": rng,
         }
+        # ad-hoc pretrained weight load (reference models/base.py:12-13:
+        # `model.weights` config key)
+        weights = self.config.model.get("weights", None)
+        if weights:
+            from instant_nsr_pl_tpu.utils.checkpoint import load_weights_only
+
+            state = load_weights_only(weights, state)
+        return state
 
     # -- sampling (reference systems/nerf.py:33-85) -------------------------
     def _sample_rays(self, data, rng, n=None):
