@@ -178,8 +178,26 @@ class VolumeSDF(BaseImplicitGeometry):
         grad = feature = laplace = None
 
         if with_grad and self.grad_type == "analytic":
-            sdf, vjp_fn, feature = self._vjp_with_feature(params, points, step)
-            grad = vjp_fn(jnp.ones_like(sdf))[0]
+            # forward-mode (3 JVPs, one per input dim): with a 3-D input this
+            # is the natural autodiff direction, stays differentiable at
+            # second order for the eikonal loss, and avoids the nested-VJP
+            # graph that crashes the TPU compiler's fusion cost model at
+            # large sample counts (SIGILL in TpuPriorityFusionQueue,
+            # capacity >= ~64k; see CLAUDE.md). The reference uses
+            # torch.autograd.grad(create_graph=True) — reverse mode —
+            # because that is what torch makes convenient
+            # (models/geometry.py:176-180).
+            sdf, feature = self._field(params, points, step=step)
+            grads = []
+            for d in range(3):
+                tangent = jnp.zeros_like(points).at[:, d].set(1.0)
+                _, dsdf = jax.jvp(
+                    lambda p: self._field(params, p, step=step)[0],
+                    (points,),
+                    (tangent,),
+                )
+                grads.append(dsdf)
+            grad = jnp.stack(grads, axis=-1)
         else:
             sdf, feature = self._field(params, points, step=step)
             if with_grad:  # finite differences (Neuralangelo)
@@ -216,15 +234,6 @@ class VolumeSDF(BaseImplicitGeometry):
             )
             rv.append(laplace)
         return rv[0] if len(rv) == 1 else tuple(rv)
-
-    def _vjp_with_feature(self, params, points, step):
-        """One forward producing (sdf, feature) + a vjp closure for d(sdf)/dp."""
-        def f(p):
-            sdf, feat = self._field(params, p, step=step)
-            return sdf, feat
-
-        sdf, vjp_fn, feature = jax.vjp(f, points, has_aux=True)
-        return sdf, vjp_fn, feature
 
     def forward_level(self, params, points, step=None):
         sdf, _ = self._field(params, points.reshape(-1, 3), step=step)
