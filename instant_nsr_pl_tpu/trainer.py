@@ -75,12 +75,26 @@ class Trainer:
                 state = load_checkpoint(resume, state)
         val_data = data_arrays(dm.val)
 
+        # optional profiler capture (reference has no profiler integration;
+        # rays/s is the north-star metric so we add one): trainer.profile
+        # gives a step range traced into <exp_dir>/profile
+        profile_cfg = self.config.trainer.get("profile", None)
+        prof_range = tuple(profile_cfg) if profile_cfg else None
+
         start_step = int(state["step"])
         t0 = time.time()
         rays_done = 0
         for _ in range(start_step, self.max_steps):
+            if prof_range and int(state["step"]) == prof_range[0]:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
             state, metrics = system.train_step(state)
             step = int(state["step"])
+            if prof_range and step == prof_range[1]:
+                import jax
+
+                jax.profiler.stop_trace()
             rays_done += system.train_num_rays
             if step % self.log_every_n_steps == 0 or step == self.max_steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
