@@ -100,7 +100,23 @@ def build_system():
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--devices",
+        default=None,
+        help="data-parallel chip count ('all' or int); default single-device",
+    )
+    args, _ = p.parse_known_args()
+
     system = build_system()
+    if args.devices is not None:
+        n = len(jax.devices()) if args.devices == "all" else int(args.devices)
+        if n > 1:
+            from instant_nsr_pl_tpu.parallel import make_mesh
+
+            system.configure_parallel(make_mesh(n))
     state = system.init_state(seed=0)
 
     # warm up: compile both occ-update variants + the train step, and let the
