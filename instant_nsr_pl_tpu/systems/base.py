@@ -266,7 +266,11 @@ class BaseSystem:
         update_module_step -> training_step ordering (systems/base.py:54-57).
         """
         plan = getattr(self, "_plan", None)
-        step = int(state["step"])
+        # host-side mirror of the step counter: fetching state["step"] every
+        # step would be a device round-trip (expensive over the TPU tunnel)
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state["step"])
+        step = self._host_step
         if step % self.grid_update_every == 0:
             key = "occ_warmup" if step < self.grid_warmup_steps else "occ"
             if key not in self._jitted:
@@ -278,7 +282,9 @@ class BaseSystem:
         if "train" not in self._jitted:
             maker = plan.make_train_step if plan else self.make_train_step
             self._jitted["train"] = maker()
-        return self._jitted["train"](state, self.data)
+        out = self._jitted["train"](state, self.data)
+        self._host_step = step + 1
+        return out
 
     # -- evaluation ---------------------------------------------------------
     def make_render_chunk(self):

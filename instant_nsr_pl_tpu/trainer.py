@@ -84,13 +84,14 @@ class Trainer:
         start_step = int(state["step"])
         t0 = time.time()
         rays_done = 0
-        for _ in range(start_step, self.max_steps):
-            if prof_range and int(state["step"]) == prof_range[0]:
+        # host-side step counter: fetching state["step"] per step would sync
+        # the device every iteration (costly over the TPU tunnel)
+        for step in range(start_step + 1, self.max_steps + 1):
+            if prof_range and step - 1 == prof_range[0]:
                 import jax
 
                 jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
             state, metrics = system.train_step(state)
-            step = int(state["step"])
             if prof_range and step == prof_range[1]:
                 import jax
 
