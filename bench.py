@@ -41,6 +41,7 @@ def build_system():
                 "eval_chunk_rays": 4096,
                 "eval_num_samples": 262144,
                 "grid_prune": True,
+                "grid_warmup_steps": 16,  # hit the steady-state occ path
                 "learned_background": False,
                 "background_color": "random",
                 "randomized": True,

@@ -95,10 +95,15 @@ def occupancy_grid_update(
     ema_decay: float = 0.95,
     warmup: bool = False,
     mesh=None,
+    sample_divisor: int = 8,
 ):
     """One nerfacc-style grid update. ``warmup`` (static) evaluates every cell
-    (nerfacc: first 256 steps); otherwise samples ``num_cells // 4`` uniform
-    cells plus ``num_cells // 4`` occupied cells.
+    (nerfacc: first 256 steps); otherwise samples ``num_cells //
+    sample_divisor`` uniform cells plus as many occupied cells (nerfacc uses
+    divisor 4; the default here is 8 — field evaluation is gather-bound on
+    TPU at ~0.8 us/cell, so the non-warmup update at divisor 4 costs ~830 ms
+    per 16 steps on a 256^3-scale grid; every cell still refreshes every
+    ~8 updates).
 
     ``occ_eval_fn`` maps world positions (M, 3) -> occupancy values (M,)
     (density * step for NeRF, the NeuS alpha estimator for NeuS).
@@ -116,7 +121,7 @@ def occupancy_grid_update(
     if warmup:
         indices = jnp.arange(n, dtype=jnp.int32)
     else:
-        m = n // 4
+        m = n // sample_divisor
         uniform = jax.random.randint(k_idx, (m,), 0, n, dtype=jnp.int32)
         # occupied-cell sampling via inverse-CDF over the binary field
         cdf = jnp.cumsum(state.binary.astype(jnp.int32))

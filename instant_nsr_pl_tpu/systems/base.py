@@ -79,8 +79,8 @@ class BaseSystem:
         self.background_color_mode = str(m.get("background_color", "random"))
         self.batch_image_sampling = bool(m.get("batch_image_sampling", True))
         self.randomized = bool(m.get("randomized", True))
-        self.grid_warmup_steps = 256
-        self.grid_update_every = 16
+        self.grid_warmup_steps = int(m.get("grid_warmup_steps", 256))
+        self.grid_update_every = int(m.get("grid_update_every", 16))
 
         self.data = None  # set by setup_data
         self._jitted = {}
