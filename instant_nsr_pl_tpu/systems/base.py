@@ -288,17 +288,46 @@ class BaseSystem:
 
     # -- evaluation ---------------------------------------------------------
     def make_render_chunk(self):
-        """Jitted fixed-size ray-chunk renderer for validation/test."""
+        """Jitted fixed-size ray-chunk renderer for validation/test. With a
+        data-parallel plan configured, rays shard across the mesh (params
+        replicated, no collectives needed)."""
+        plan = getattr(self, "_plan", None)
 
-        def render_fn(state, rays_o, rays_d):
+        def render_fn(state, rays_o, rays_d, capacity):
             bg = jnp.ones((3,), jnp.float32)
             return self.forward_eval(
-                state["params"], state["occ"], rays_o, rays_d, bg, state["step"]
+                state["params"], state["occ"], rays_o, rays_d, bg,
+                state["step"], capacity=capacity,
             )
 
-        return jax.jit(render_fn)
+        if plan is None:
+            return jax.jit(
+                lambda state, ro, rd: render_fn(state, ro, rd, self.eval_capacity)
+            )
 
-    def forward_eval(self, params, occ, rays_o, rays_d, bg, step):
+        from jax.sharding import PartitionSpec as P
+
+        mesh = plan.mesh
+        n_dev = plan.n_dev
+        assert self.eval_chunk_rays % n_dev == 0, (
+            f"eval_chunk_rays {self.eval_chunk_rays} must divide by device "
+            f"count {n_dev}"
+        )
+        cap_per_dev = max(self.eval_capacity // n_dev, 1)
+
+        def render_sharded(state, rays_o, rays_d):
+            body = jax.shard_map(
+                lambda ro, rd: render_fn(state, ro, rd, cap_per_dev),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_vma=False,
+            )
+            return body(rays_o, rays_d)
+
+        return jax.jit(render_sharded)
+
+    def forward_eval(self, params, occ, rays_o, rays_d, bg, step, capacity=None):
         raise NotImplementedError
 
     def render_image(self, state, index: int, data=None):

@@ -71,14 +71,14 @@ class NeRFSystem(BaseSystem):
         )
         return loss, metrics
 
-    def forward_eval(self, params, occ, rays_o, rays_d, bg, step):
+    def forward_eval(self, params, occ, rays_o, rays_d, bg, step, capacity=None):
         out = self.model.forward(
             params,
             occ,
             rays_o,
             rays_d,
             background_color=bg,
-            capacity=self.eval_capacity,
+            capacity=capacity or self.eval_capacity,
             rng=None,
             step=step,
             randomized=False,

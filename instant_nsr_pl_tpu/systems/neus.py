@@ -162,15 +162,16 @@ class NeuSSystem(BaseSystem):
         )
         return loss, metrics
 
-    def forward_eval(self, params, occ, rays_o, rays_d, bg, step):
+    def forward_eval(self, params, occ, rays_o, rays_d, bg, step, capacity=None):
+        capacity = capacity or self.eval_capacity
         out = self.model.forward(
             params,
             occ,
             rays_o,
             rays_d,
             background_color=bg,
-            capacity=self.eval_capacity,
-            capacity_bg=self.eval_capacity_bg,
+            capacity=capacity,
+            capacity_bg=self.eval_capacity_bg * capacity // self.eval_capacity,
             rng=None,
             step=step,
             randomized=False,
