@@ -1,0 +1,150 @@
+"""Training-throughput benchmark: rays/s on the Instant-NGP NeRF hot loop.
+
+Runs the real jitted training step (hash encode -> MLP -> SH+MLP ->
+occupancy-pruned packed compositing -> AdamW) at the reference's per-step
+workload (8192 rays, 262144-sample packed capacity, 1024 max samples/ray —
+configs/nerf-blender.yaml) on the procedural synthetic scene, and prints ONE
+JSON line.
+
+Baseline: the reference trains lego 20k steps in 279 s on one RTX 3090
+(BASELINE.md), with the dynamic ray batch pinned at its 8192-ray cap for most
+of the run -> ~587k rays/s. vs_baseline = our rays/s / 587k.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_SEC = 8192 * 20000 / 279.0  # RTX 3090, reference lego
+
+
+def build_system():
+    from instant_nsr_pl_tpu.config import config_from_dict
+    from instant_nsr_pl_tpu.registry import datasets, systems
+    import instant_nsr_pl_tpu.datasets  # noqa: F401
+    import instant_nsr_pl_tpu.systems  # noqa: F401
+
+    cfg = config_from_dict(
+        {
+            "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1},
+            "model": {
+                "name": "nerf",
+                "radius": 1.5,
+                "num_samples_per_ray": 1024,
+                "train_num_rays": 256,
+                "max_train_num_rays": 8192,
+                "train_num_samples": 262144,
+                "eval_chunk_rays": 4096,
+                "eval_num_samples": 262144,
+                "grid_prune": True,
+                "grid_warmup_steps": 16,  # hit the steady-state occ path
+                "learned_background": False,
+                "background_color": "random",
+                "randomized": True,
+                "batch_image_sampling": True,
+                "geometry": {
+                    "name": "volume-density",
+                    "radius": 1.5,
+                    "feature_dim": 16,
+                    "density_activation": "trunc_exp",
+                    "density_bias": -1,
+                    "isosurface": {"resolution": 128, "chunk": 262144},
+                    "xyz_encoding_config": {
+                        "otype": "HashGrid",
+                        "n_levels": 16,
+                        "n_features_per_level": 2,
+                        "log2_hashmap_size": 19,
+                        "base_resolution": 16,
+                        "per_level_scale": 1.447269237440378,
+                    },
+                    "mlp_network_config": {
+                        "otype": "FullyFusedMLP",
+                        "activation": "ReLU",
+                        "output_activation": "none",
+                        "n_neurons": 64,
+                        "n_hidden_layers": 1,
+                    },
+                },
+                "texture": {
+                    "name": "volume-radiance",
+                    "input_feature_dim": 16,
+                    "dir_encoding_config": {"otype": "SphericalHarmonics", "degree": 4},
+                    "mlp_network_config": {
+                        "otype": "FullyFusedMLP",
+                        "activation": "ReLU",
+                        "output_activation": "Sigmoid",
+                        "n_neurons": 64,
+                        "n_hidden_layers": 2,
+                    },
+                },
+            },
+            "system": {
+                "name": "nerf-system",
+                "loss": {"lambda_rgb": 1.0, "lambda_distortion": 0.0},
+                "optimizer": {
+                    "name": "AdamW",
+                    "args": {"lr": 0.01, "betas": [0.9, 0.99], "eps": 1.0e-15},
+                },
+                "scheduler": None,
+            },
+        }
+    )
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    return system
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--devices",
+        default=None,
+        help="data-parallel chip count ('all' or int); default single-device",
+    )
+    args, _ = p.parse_known_args()
+
+    system = build_system()
+    if args.devices is not None:
+        n = len(jax.devices()) if args.devices == "all" else int(args.devices)
+        if n > 1:
+            from instant_nsr_pl_tpu.parallel import make_mesh
+
+            system.configure_parallel(make_mesh(n))
+    state = system.init_state(seed=0)
+
+    # warm up: compile both occ-update variants + the train step, and let the
+    # occupancy grid converge a little so the steady-state packing is realistic
+    for _ in range(24):
+        state, metrics = system.train_step(state)
+    float(metrics["train/loss"])  # fetch = the only true sync on this runtime
+
+    n_steps = 96
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = system.train_step(state)
+    float(metrics["train/loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = system.train_num_rays * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Encoding / MLP factories (the reference's models/network_utils.py role,
+reference lines 14-215), re-designed functionally for JAX.
+
+Every module here is a *static* Python object (safe to close over in jit)
+exposing ``init(rng) -> params`` and ``apply(params, x, step) -> out``.
+Training-schedule state (progressive hash-grid level unmasking, frequency
+coarse-to-fine masks) is a pure function of the traced ``step`` scalar instead
+of Python-side mutation — no recompilation, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from instant_nsr_pl_tpu.ops.activations import get_activation
+from instant_nsr_pl_tpu.ops.hashgrid import (
+    HashGridSpec,
+    hashgrid_encode,
+    hashgrid_encode_fast,
+    hashgrid_init,
+)
+from instant_nsr_pl_tpu.ops.mlp import MLPSpec, mlp_apply, mlp_init
+from instant_nsr_pl_tpu.ops.sh import sh_output_dim, spherical_harmonics_encoding
+
+
+class VanillaFrequency:
+    """sin/cos frequency bands with an optional coarse-to-fine cosine mask
+    schedule (reference: models/network_utils.py:14-37)."""
+
+    def __init__(self, in_channels, config):
+        self.n_frequencies = int(config["n_frequencies"])
+        self.n_input_dims = in_channels
+        self.n_output_dims = in_channels * 2 * self.n_frequencies
+        self.n_masking_step = int(config.get("n_masking_step", 0))
+        self.freq_bands = tuple(2.0**i for i in range(self.n_frequencies))
+
+    def init(self, rng):
+        return {}
+
+    def mask(self, step):
+        n = self.n_frequencies
+        if self.n_masking_step <= 0 or step is None:
+            return jnp.ones((n,), jnp.float32)
+        x = jnp.clip(
+            step / self.n_masking_step * n - jnp.arange(n, dtype=jnp.float32),
+            0.0,
+            1.0,
+        )
+        return (1.0 - jnp.cos(math.pi * x)) / 2.0
+
+    def apply(self, params, x, step=None):
+        mask = self.mask(step)
+        out = []
+        for i, freq in enumerate(self.freq_bands):
+            for fn in (jnp.sin, jnp.cos):
+                out.append(fn(freq * x) * mask[i])
+        return jnp.concatenate(out, axis=-1)
+
+
+class HashGridEncoding:
+    """Plain multiresolution hash grid (tcnn ``HashGrid`` role).
+
+    ``grad_mode`` ('fast' default): the training hot path uses the custom-VJP
+    MXU table gradient (ops/hashgrid.py). Geometries that differentiate the
+    encoding at second order (NeuS analytic eikonal) switch it to 'autodiff'.
+    """
+
+    def __init__(self, in_channels, config):
+        self.spec = HashGridSpec.from_config(config, n_input_dims=in_channels)
+        self.n_input_dims = in_channels
+        self.n_output_dims = self.spec.n_output_dims
+        # the MXU one-hot-matmul backward only pays off on TPU; CPU (tests)
+        # keeps the plain autodiff scatter
+        default_mode = "fast" if jax.default_backend() == "tpu" else "autodiff"
+        self.grad_mode = str(config.get("grad_mode", default_mode))
+
+    def init(self, rng):
+        return {"table": hashgrid_init(rng, self.spec)}
+
+    def _encode(self, table, x, level_mask=None):
+        if self.grad_mode == "fast":
+            return hashgrid_encode_fast(table, x, self.spec, level_mask)
+        return hashgrid_encode(table, x, self.spec, level_mask)
+
+    def apply(self, params, x, step=None):
+        return self._encode(params["table"], x)
+
+
+class ProgressiveBandHashGrid(HashGridEncoding):
+    """Neuralangelo progressive level unmasking: features above the current
+    level are zeroed; level advances every ``update_steps`` after
+    ``start_step`` (reference: models/network_utils.py:40-65)."""
+
+    def __init__(self, in_channels, config):
+        super().__init__(in_channels, config)
+        self.start_level = int(config["start_level"])
+        self.start_step = int(config["start_step"])
+        self.update_steps = int(config["update_steps"])
+
+    def current_level(self, step):
+        if step is None:
+            return self.spec.n_levels
+        lvl = self.start_level + jnp.maximum(step - self.start_step, 0) // self.update_steps
+        return jnp.minimum(lvl, self.spec.n_levels)
+
+    def apply(self, params, x, step=None):
+        if step is None:
+            mask = None
+        else:
+            lvl = self.current_level(step)
+            mask = (
+                jnp.arange(self.spec.n_levels) < lvl
+            ).astype(jnp.float32)
+        return self._encode(params["table"], x, level_mask=mask)
+
+
+class SphericalHarmonicsEncoding:
+    """Real-SH direction encoding (tcnn ``SphericalHarmonics`` role)."""
+
+    def __init__(self, in_channels, config):
+        assert in_channels == 3
+        self.degree = int(config["degree"])
+        self.n_input_dims = 3
+        self.n_output_dims = sh_output_dim(self.degree)
+
+    def init(self, rng):
+        return {}
+
+    def apply(self, params, x, step=None):
+        return spherical_harmonics_encoding(x, self.degree)
+
+
+class CompositeEncoding:
+    """Optionally prepend the raw (rescaled) input to the encoding output
+    (``include_xyz``; reference: models/network_utils.py:68-79)."""
+
+    def __init__(self, encoding, include_xyz=False, xyz_scale=2.0, xyz_offset=-1.0):
+        self.encoding = encoding
+        self.include_xyz = include_xyz
+        self.xyz_scale = xyz_scale
+        self.xyz_offset = xyz_offset
+        self.n_input_dims = encoding.n_input_dims
+        self.n_output_dims = (
+            int(include_xyz) * encoding.n_input_dims + encoding.n_output_dims
+        )
+
+    def init(self, rng):
+        return self.encoding.init(rng)
+
+    def apply(self, params, x, step=None):
+        enc = self.encoding.apply(params, x, step=step)
+        if not self.include_xyz:
+            return enc
+        return jnp.concatenate(
+            [x * self.xyz_scale + self.xyz_offset, enc], axis=-1
+        )
+
+
+def get_encoding(n_input_dims, config):
+    """Factory mirroring reference get_encoding (network_utils.py:82-92);
+    input is assumed to live in [0, 1]."""
+    otype = config["otype"]
+    if otype == "VanillaFrequency":
+        enc = VanillaFrequency(n_input_dims, config)
+    elif otype == "ProgressiveBandHashGrid":
+        enc = ProgressiveBandHashGrid(n_input_dims, config)
+    elif otype == "HashGrid":
+        enc = HashGridEncoding(n_input_dims, config)
+    elif otype == "SphericalHarmonics":
+        enc = SphericalHarmonicsEncoding(n_input_dims, config)
+    else:
+        raise ValueError(f"Unknown encoding otype '{otype}'")
+    return CompositeEncoding(
+        enc, include_xyz=bool(config.get("include_xyz", False))
+    )
+
+
+class MLP:
+    """Functional MLP module wrapping ops.mlp with the configured output
+    activation (FullyFusedMLP/CutlassMLP/VanillaMLP roles)."""
+
+    def __init__(self, dim_in, dim_out, config):
+        self.spec = MLPSpec.from_config(dim_in, dim_out, config)
+        self.output_activation = get_activation(
+            config.get("output_activation", "none")
+        )
+        self.n_input_dims = dim_in
+        self.n_output_dims = dim_out
+
+    def init(self, rng):
+        return {"layers": mlp_init(rng, self.spec)}
+
+    def apply(self, params, x, step=None):
+        return self.output_activation(mlp_apply(params["layers"], x, self.spec))
+
+
+def get_mlp(n_input_dims, n_output_dims, config):
+    """Factory mirroring reference get_mlp (network_utils.py:176-184). All
+    otypes (FullyFusedMLP, CutlassMLP, VanillaMLP) map onto the same MXU
+    matmul chain; otype only selects the precision policy + init, including
+    the tcnn sphere init the reference writes into the fused param buffer
+    (network_utils.py:142-173 — we use the clean math directly)."""
+    return MLP(n_input_dims, n_output_dims, config)
+
+
+class EncodingWithNetwork:
+    """Fused encoding+MLP evaluation (tcnn ``NetworkWithInputEncoding`` role,
+    reference network_utils.py:187-215). XLA fuses the hash gather into the
+    first matmul; a hand-fused Pallas path can slot in here later."""
+
+    def __init__(self, encoding, network):
+        self.encoding = encoding
+        self.network = network
+        self.n_input_dims = encoding.n_input_dims
+        self.n_output_dims = network.n_output_dims
+
+    def init(self, rng):
+        k_enc, k_net = jax.random.split(rng)
+        return {
+            "encoding": self.encoding.init(k_enc),
+            "network": self.network.init(k_net),
+        }
+
+    def apply(self, params, x, step=None):
+        return self.network.apply(
+            params["network"],
+            self.encoding.apply(params["encoding"], x, step=step),
+            step=step,
+        )
+
+
+def get_encoding_with_network(n_input_dims, n_output_dims, encoding_config, network_config):
+    encoding = get_encoding(n_input_dims, encoding_config)
+    network = get_mlp(encoding.n_output_dims, n_output_dims, network_config)
+    return EncodingWithNetwork(encoding, network)

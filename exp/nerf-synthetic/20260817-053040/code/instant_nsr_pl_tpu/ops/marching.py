@@ -1,0 +1,350 @@
+"""Occupancy grid + static-shape ray marching (the nerfacc role).
+
+Replaces nerfacc 0.3.3's ``OccupancyGrid`` and CUDA ``ray_marching``
+(reference use: models/nerf.py:37-41,82-93; models/neus.py:64-74,159-169,
+209-220) with a TPU-first design:
+
+- the grid is a functional pytree (float EMA values + binary field), updated
+  by a jitted collective-friendly function with the same semantics as
+  nerfacc's ``every_n_step``: warmup evaluates all cells, afterwards a
+  uniform + occupied cell sample; ``occ <- max(occ * 0.95, new)``; binarize at
+  ``occ > min(mean(occ), occ_thre)``;
+- marching emits a *fixed-capacity packed* sample buffer instead of nerfacc's
+  ragged packed tensors: candidate samples are laid out densely as
+  ``[n_rays, max_samples]`` (uniform or cone-angle exponential stepping with
+  stratified jitter), masked by range + occupancy, then compacted with a
+  static-size ``jnp.nonzero`` so the expensive field evaluations downstream
+  only touch live samples. Static shapes keep XLA to a single compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instant_nsr_pl_tpu.ops.contraction import (
+    ContractionType,
+    contract_coords,
+    uncontract_from_unisphere,
+)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy grid
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class OccGridSpec:
+    """Static occupancy-grid description (hashable)."""
+
+    resolution: int = 128
+    radius: float = 1.5
+    contraction_type: ContractionType = ContractionType.AABB
+
+    @property
+    def num_cells(self) -> int:
+        return self.resolution**3
+
+
+class OccupancyGridState(NamedTuple):
+    """EMA occupancy values + binarized field, flattened x-fastest
+    (``i = x + y*R + z*R^2``). ``binary_dilated`` is the 3^3 max-pool of
+    ``binary`` — a conservative superset used by the strided march lookup
+    (one occupancy probe per group of consecutive samples)."""
+
+    occs: jax.Array  # (R^3,) float32
+    binary: jax.Array  # (R^3,) bool
+    binary_dilated: jax.Array  # (R^3,) bool
+
+
+def occupancy_grid_init(spec: OccGridSpec) -> OccupancyGridState:
+    n = spec.num_cells
+    return OccupancyGridState(
+        occs=jnp.zeros((n,), jnp.float32),
+        binary=jnp.zeros((n,), bool),
+        binary_dilated=jnp.zeros((n,), bool),
+    )
+
+
+def _dilate_binary(binary, resolution):
+    """3^3 max-pool of the flattened binary field."""
+    b = binary.reshape(resolution, resolution, resolution)
+    d = jax.lax.reduce_window(
+        b, False, jax.lax.bitwise_or, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    return d.reshape(-1)
+
+
+def _cell_coords(indices, resolution):
+    ix = indices % resolution
+    iy = (indices // resolution) % resolution
+    iz = indices // (resolution * resolution)
+    return jnp.stack([ix, iy, iz], axis=-1)
+
+
+def occupancy_grid_update(
+    state: OccupancyGridState,
+    spec: OccGridSpec,
+    rng,
+    occ_eval_fn,
+    occ_thre: float = 0.01,
+    ema_decay: float = 0.95,
+    warmup: bool = False,
+    mesh=None,
+    sample_divisor: int = 8,
+):
+    """One nerfacc-style grid update. ``warmup`` (static) evaluates every cell
+    (nerfacc: first 256 steps); otherwise samples ``num_cells //
+    sample_divisor`` uniform cells plus as many occupied cells (nerfacc uses
+    divisor 4; the default here is 8 — field evaluation is gather-bound on
+    TPU at ~0.8 us/cell, so the non-warmup update at divisor 4 costs ~830 ms
+    per 16 steps on a 256^3-scale grid; every cell still refreshes every
+    ~8 updates).
+
+    ``occ_eval_fn`` maps world positions (M, 3) -> occupancy values (M,)
+    (density * step for NeRF, the NeuS alpha estimator for NeuS).
+
+    With ``mesh`` (a 1-D device mesh with axis 'dp'), the expensive field
+    evaluations are sharded over cells across devices and the results
+    all-gathered, so every chip applies the identical update — the collective
+    grid maintenance the reference's per-rank nerfacc grids never do
+    (SURVEY.md §2c).
+    """
+    res = spec.resolution
+    n = spec.num_cells
+    k_idx, k_occ, k_jit = jax.random.split(rng, 3)
+
+    if warmup:
+        indices = jnp.arange(n, dtype=jnp.int32)
+    else:
+        m = n // sample_divisor
+        uniform = jax.random.randint(k_idx, (m,), 0, n, dtype=jnp.int32)
+        # occupied-cell sampling via inverse-CDF over the binary field
+        cdf = jnp.cumsum(state.binary.astype(jnp.int32))
+        total = cdf[-1]
+        u = jax.random.randint(k_occ, (m,), 0, jnp.maximum(total, 1))
+        occupied = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+        occupied = jnp.clip(occupied, 0, n - 1)
+        # if nothing is occupied yet, fall back to the uniform half
+        occupied = jnp.where(total > 0, occupied, uniform)
+        indices = jnp.concatenate([uniform, occupied])
+
+    coords = _cell_coords(indices, res).astype(jnp.float32)
+    jitter = jax.random.uniform(k_jit, coords.shape)
+    unit = (coords + jitter) / res  # position in the contracted [0,1]^3 cube
+    world = uncontract_from_unisphere(unit, spec.radius, spec.contraction_type)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        m = world.shape[0]
+        pad = (-m) % n_dev
+        world_p = jnp.pad(world, ((0, pad), (0, 0)))
+        eval_sharded = jax.shard_map(
+            lambda w: jnp.asarray(occ_eval_fn(w)).reshape(-1),
+            mesh=mesh,
+            in_specs=P("dp"),
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        occ = eval_sharded(world_p)[:m]
+    else:
+        occ = jnp.asarray(occ_eval_fn(world)).reshape(-1)
+    occ = jax.lax.stop_gradient(occ)
+    new_vals = jnp.maximum(state.occs[indices] * ema_decay, occ)
+    occs = state.occs.at[indices].set(new_vals)
+    thre = jnp.minimum(occs.mean(), occ_thre)
+    binary = occs > thre
+    return OccupancyGridState(
+        occs=occs,
+        binary=binary,
+        binary_dilated=_dilate_binary(binary, res),
+    )
+
+
+def occupancy_lookup(binary, positions, spec: OccGridSpec):
+    """Query the binary field at world positions (..., 3) -> bool (...)."""
+    return occupancy_lookup_coords(
+        binary,
+        positions[..., 0],
+        positions[..., 1],
+        positions[..., 2],
+        spec,
+    )
+
+
+def occupancy_lookup_coords(binary, px, py, pz, spec: OccGridSpec, clamp=False):
+    """Coordinate-wise occupancy query (TPU layout: avoids (..., 3) arrays
+    whose unit trailing axis XLA pads to a (8,128) tile).
+
+    ``clamp=True`` clamps out-of-domain probes onto the boundary cell instead
+    of returning False — used by the strided group probe, where group centers
+    can fall just outside the domain while group members are inside (range
+    validity is enforced separately per sample)."""
+    ux, uy, uz = contract_coords(px, py, pz, spec.radius, spec.contraction_type)
+    res = spec.resolution
+    cx = jnp.clip(jnp.floor(ux * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip(jnp.floor(uy * res).astype(jnp.int32), 0, res - 1)
+    cz = jnp.clip(jnp.floor(uz * res).astype(jnp.int32), 0, res - 1)
+    flat = cx + cy * res + cz * res * res
+    if clamp:
+        return binary[flat]
+    inside = (
+        (ux >= 0.0) & (ux < 1.0)
+        & (uy >= 0.0) & (uy < 1.0)
+        & (uz >= 0.0) & (uz < 1.0)
+    )
+    return binary[flat] & inside
+
+
+# ---------------------------------------------------------------------------
+# Ray marching
+# ---------------------------------------------------------------------------
+
+
+class PackedSamples(NamedTuple):
+    """Fixed-capacity packed samples, sorted by ray (padding at the tail).
+
+    The static-shape analog of nerfacc's ragged ``(ray_indices, t_starts,
+    t_ends)`` packing."""
+
+    ray_indices: jax.Array  # (CAP,) int32, ascending; padding = n_rays - 1
+    t_starts: jax.Array  # (CAP,) float32
+    t_ends: jax.Array  # (CAP,) float32
+    valid: jax.Array  # (CAP,) bool
+    num_valid: jax.Array  # () int32 — total live samples (pre-truncation)
+    ray_kept: jax.Array  # (R,) bool — all of this ray's live samples fit in CAP
+
+
+def _t_schedule(t_min, render_step_size, cone_angle, max_samples):
+    """Per-ray sample boundary distances t_0..t_S (S+1 values).
+
+    cone_angle == 0: uniform stepping ``t_i = t_min + i * step``.
+    cone_angle > 0: nerfacc's exponential stepping — the recurrence
+    ``t_{k+1} = t_k + max(t_k * c, s)`` in closed form: linear until
+    ``t >= s/c``, geometric with ratio (1+c) afterwards.
+    """
+    s = render_step_size
+    i = jnp.arange(max_samples + 1, dtype=jnp.float32)[None, :]  # (1, S+1)
+    t0 = t_min[:, None]  # (R, 1)
+    if cone_angle <= 0.0:
+        return t0 + i * s
+    c = cone_angle
+    switch = s / c
+    n_lin = jnp.ceil(jnp.maximum(switch - t0, 0.0) / s)  # (R, 1)
+    t_lin = t0 + jnp.minimum(i, n_lin) * s
+    t_geo = (t0 + n_lin * s) * (1.0 + c) ** jnp.maximum(i - n_lin, 0.0)
+    return jnp.where(i <= n_lin, t_lin, t_geo)
+
+
+def march_rays(
+    rays_o,
+    rays_d,
+    t_min,
+    t_max,
+    *,
+    render_step_size: float,
+    max_samples: int,
+    capacity: int,
+    cone_angle: float = 0.0,
+    stratified: bool = False,
+    rng=None,
+    occ_binary=None,
+    occ_spec: OccGridSpec | None = None,
+    occ_dilated=None,
+    occ_stride: int = 1,
+) -> PackedSamples:
+    """March rays, prune with the occupancy grid, compact to ``capacity``.
+
+    Args:
+      rays_o, rays_d: (R, 3) world origins / unit directions.
+      t_min, t_max: (R,) per-ray march range (e.g. from the AABB slab test).
+      render_step_size: base step size s.
+      max_samples: static S, candidate samples per ray.
+      capacity: static CAP of the packed output buffer.
+      cone_angle: >0 enables exponential stepping (unbounded scenes).
+      stratified: jitter the per-ray start by U(0,1)*s (nerfacc's stratified).
+      rng: PRNG key, required when stratified.
+      occ_binary / occ_spec: optional binary occupancy field for pruning.
+      occ_dilated / occ_stride: with stride k > 1, one occupancy probe per
+        group of k consecutive samples against the DILATED field (probes are
+        ~10 ns each on TPU — 8.4M per step at the reference workload — so
+        the k-fold reduction matters; dilation keeps pruning conservative:
+        extra passed samples only consume capacity, never bias the render).
+        Requires uniform stepping (cone_angle == 0) and
+        k * render_step_size <= 2 * cell_size.
+    """
+    R = rays_o.shape[0]
+    S = max_samples
+    t_min = jnp.asarray(t_min, jnp.float32)
+    t_max = jnp.asarray(t_max, jnp.float32)
+    if stratified:
+        assert rng is not None
+        jitter = jax.random.uniform(rng, (R,)) * render_step_size
+        t_min = t_min + jitter
+
+    t_bounds = _t_schedule(t_min, render_step_size, cone_angle, S)  # (R, S+1)
+    t_starts = t_bounds[:, :-1]
+    t_ends = t_bounds[:, 1:]
+    t_mid = 0.5 * (t_starts + t_ends)
+
+    valid = t_mid < t_max[:, None]  # (R, S)
+    if occ_binary is not None:
+        if occ_stride > 1 and occ_dilated is not None:
+            assert cone_angle <= 0.0, "strided lookup needs uniform stepping"
+            assert S % occ_stride == 0, (S, occ_stride)
+            s_g = S // occ_stride
+            # group-center distances: midpoint of each k-sample group
+            t_c = 0.5 * (
+                t_bounds[:, : S : occ_stride] + t_bounds[:, occ_stride::occ_stride]
+            )  # (R, S/k)
+            px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_c
+            py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_c
+            pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_c
+            occ_g = occupancy_lookup_coords(
+                occ_dilated, px, py, pz, occ_spec, clamp=True
+            )
+            occ = jnp.repeat(occ_g, occ_stride, axis=1)  # (R, S)
+        else:
+            # per-coordinate (R, S) arrays; never materialize (R, S, 3)
+            px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_mid
+            py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_mid
+            pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_mid
+            occ = occupancy_lookup_coords(occ_binary, px, py, pz, occ_spec)
+        valid = valid & occ
+
+    # compact: ray-major flat order keeps packed samples sorted by ray
+    flat_valid = valid.reshape(-1)
+    num_valid = flat_valid.sum().astype(jnp.int32)
+    (sel,) = jnp.nonzero(flat_valid, size=capacity, fill_value=R * S)
+    packed_valid = sel < R * S
+    safe = jnp.minimum(sel, R * S - 1).astype(jnp.int32)
+    ray_indices = (safe // S).astype(jnp.int32)
+    ray_indices = jnp.where(packed_valid, ray_indices, R - 1)
+    # a ray is fully kept iff the cumulative live-sample count through it
+    # fits in the capacity (truncated rays must be masked out of losses)
+    per_ray = valid.sum(axis=1)
+    ray_kept = jnp.cumsum(per_ray) <= capacity
+    return PackedSamples(
+        ray_indices=ray_indices,
+        t_starts=jnp.where(packed_valid, t_starts.reshape(-1)[safe], 0.0),
+        t_ends=jnp.where(packed_valid, t_ends.reshape(-1)[safe], 0.0),
+        valid=packed_valid,
+        num_valid=num_valid,
+        ray_kept=ray_kept,
+    )
+
+
+def packed_positions(samples: PackedSamples, rays_o, rays_d):
+    """World positions / directions / midpoints / intervals of packed samples."""
+    t_mid = 0.5 * (samples.t_starts + samples.t_ends)
+    o = rays_o[samples.ray_indices]
+    d = rays_d[samples.ray_indices]
+    positions = o + d * t_mid[:, None]
+    intervals = samples.t_ends - samples.t_starts
+    return positions, d, t_mid, intervals

@@ -1,0 +1,116 @@
+"""Differentiable volume-rendering compositing on packed sample buffers.
+
+TPU-native replacement for nerfacc's CUDA ``render_weight_from_density``,
+``render_weight_from_alpha`` and ``accumulate_along_rays`` (consumed by the
+reference at models/nerf.py:105-108 and models/neus.py:181-184,237-242), plus
+the MipNeRF-360 distortion loss (``flatten_eff_distloss``, systems/nerf.py:104).
+
+Layout: samples live in a fixed-capacity packed buffer sorted by ray —
+``ray_indices (CAP,) int32`` (ascending; padding rows carry ``valid=False``),
+mirroring nerfacc's ragged packing but with a *static* capacity so XLA sees
+one shape. Per-ray prefix products/sums are computed with a segmented
+``jax.lax.associative_scan`` — O(log n) depth of pure VPU elementwise work,
+numerically safe because sums never cross segment boundaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _segment_starts(ray_indices, valid):
+    """Boolean flags marking the first valid sample of each ray segment."""
+    prev = jnp.concatenate([jnp.full((1,), -1, ray_indices.dtype), ray_indices[:-1]])
+    return (ray_indices != prev) & valid
+
+
+def segmented_cumsum(x, ray_indices, valid, exclusive=False):
+    """Per-segment cumulative sum over a packed, ray-sorted buffer.
+
+    Invalid (padding) entries contribute zero and receive well-defined values.
+    """
+    x = jnp.where(valid, x, 0.0)
+    flags = _segment_starts(ray_indices, valid)
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, 0.0, av)
+
+    _, incl = jax.lax.associative_scan(combine, (flags, x))
+    if exclusive:
+        return incl - x
+    return incl
+
+
+def exclusive_cumprod_segments(alpha, ray_indices, valid, eps=1e-10):
+    """Per-ray exclusive cumulative product of (1 - alpha): the transmittance
+    ``T_i = prod_{j<i in same ray} (1 - alpha_j)``."""
+    log1m = jnp.log(jnp.clip(1.0 - alpha, eps, 1.0))
+    excl = segmented_cumsum(log1m, ray_indices, valid, exclusive=True)
+    return jnp.exp(excl)
+
+
+def render_weight_from_density(t_starts, t_ends, sigma, ray_indices, valid):
+    """Weights w_i = alpha_i * T_i with alpha = 1 - exp(-sigma * dt).
+
+    Matches nerfacc's ``render_weight_from_density`` on packed samples
+    (reference use: models/nerf.py:105).
+    """
+    dt = t_ends - t_starts
+    alpha = 1.0 - jnp.exp(-sigma * dt)
+    alpha = jnp.where(valid, alpha, 0.0)
+    trans = exclusive_cumprod_segments(alpha, ray_indices, valid)
+    return alpha * trans
+
+
+def render_weight_from_alpha(alpha, ray_indices, valid):
+    """Weights from per-sample alphas (NeuS path; reference: models/neus.py:237)."""
+    alpha = jnp.where(valid, alpha, 0.0)
+    trans = exclusive_cumprod_segments(alpha, ray_indices, valid)
+    return alpha * trans
+
+
+def accumulate_along_rays(weights, ray_indices, values=None, n_rays=None, valid=None):
+    """Per-ray sum of ``weights * values`` (nerfacc's ``accumulate_along_rays``).
+
+    Args:
+      weights: (CAP,)
+      values: (CAP, D) or None (accumulates plain weights -> opacity).
+      n_rays: static number of rays.
+    Returns:
+      (n_rays, D) (D=1 when values is None).
+    """
+    assert n_rays is not None
+    if valid is not None:
+        weights = jnp.where(valid, weights, 0.0)
+    if values is None:
+        src = weights[:, None]
+    else:
+        if values.ndim == 1:
+            values = values[:, None]
+        src = weights[:, None] * values
+    return jax.ops.segment_sum(
+        src, ray_indices, num_segments=n_rays, indices_are_sorted=True
+    )
+
+
+def distortion_loss(weights, midpoints, intervals, ray_indices, valid, n_rays):
+    """MipNeRF-360 distortion loss on packed samples in O(N) via segmented
+    prefix sums; the role of ``torch_efficient_distloss.flatten_eff_distloss``
+    (reference: systems/nerf.py:104, systems/neus.py:132,137).
+
+    loss = mean_rays[ sum_ij w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 d_i ]
+    The pairwise term for samples sorted by t equals
+    ``2 * sum_i w_i (m_i * W_{<i} - (wm)_{<i})``.
+    """
+    w = jnp.where(valid, weights, 0.0)
+    m = midpoints
+    wm = w * m
+    w_prefix = segmented_cumsum(w, ray_indices, valid, exclusive=True)
+    wm_prefix = segmented_cumsum(wm, ray_indices, valid, exclusive=True)
+    loss_bi = 2.0 * (w * (m * w_prefix - wm_prefix))
+    loss_uni = (1.0 / 3.0) * (w * w * intervals)
+    total = jnp.sum(jnp.where(valid, loss_bi + loss_uni, 0.0))
+    return total / n_rays

@@ -61,7 +61,10 @@ class DataParallelPlan:
         rays_per_dev = self.rays_per_dev
         capacity_per_dev = self.capacity_per_dev
 
-        def body(keys, params, occ, extra, step, data):
+        # systems size their forward by these; swap in the per-device values
+        # inside the sharded body (static Python ints — safe to mutate around
+        # trace time since make_train_step is called once per compilation)
+        def body(keys, params, opt_state, occ, extra, step, data):
             # keys: (1, 2) — this device's base key
             key = keys[0]
             k_sample, k_bg, k_fwd = jax.random.split(key, 3)
@@ -107,7 +110,7 @@ class DataParallelPlan:
         sharded_body = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P()),
+            in_specs=(P("dp"), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -118,6 +121,7 @@ class DataParallelPlan:
             grads, metrics = sharded_body(
                 keys,
                 state["params"],
+                state["opt_state"],
                 state["occ"],
                 state.get("extra", {}),
                 state["step"],

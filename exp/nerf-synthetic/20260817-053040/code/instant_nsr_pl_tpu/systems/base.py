@@ -52,9 +52,9 @@ def C(value, step):
 class BaseSystem:
     """Holds the model + dataset device arrays and builds jitted steps.
 
-    Subclasses implement ``loss_fn`` (returning ``(loss, metrics)``) and
-    ``forward_eval`` (the fixed-shape chunk renderer used by
-    ``render_image``).
+    Subclasses implement ``loss_fn(params, occ, batch, rng, step)`` returning
+    (loss, metrics_dict) and ``eval_outputs`` naming the forward keys needed
+    for validation images.
     """
 
     def __init__(self, config):
@@ -254,7 +254,9 @@ class BaseSystem:
         from instant_nsr_pl_tpu.parallel.data_parallel import DataParallelPlan
 
         self._plan = DataParallelPlan(self, mesh)
-        self._jitted.clear()  # train/occ/render all depend on the plan
+        self._jitted.pop("train", None)
+        self._jitted.pop("occ", None)
+        self._jitted.pop("occ_warmup", None)
         return self._plan
 
     # -- host-side orchestration -------------------------------------------

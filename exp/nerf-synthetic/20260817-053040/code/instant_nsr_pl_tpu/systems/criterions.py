@@ -1,0 +1,112 @@
+"""Loss/metric criterions: weighted MSE/L1, PSNR, SSIM, stable BCE.
+
+Re-implements the reference's systems/criterions.py (PSNR at 40-52, SSIM at
+55-152, binary_cross_entropy at 155-159) as pure JAX functions — no module
+state, everything jit-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def weighted_loss(per_elem, weight=None, reduction="mean"):
+    """Apply an optional elementwise weight then reduce.
+
+    Mirrors the reference's WeightedLoss semantics (systems/criterions.py:7-31):
+    ``weight`` broadcasts against the element loss; 'mean'/'sum'/'none'.
+    """
+    if weight is not None:
+        per_elem = per_elem * weight
+    if reduction == "mean":
+        return per_elem.mean()
+    if reduction == "sum":
+        return per_elem.sum()
+    return per_elem
+
+
+def mse_loss(pred, target, weight=None, reduction="mean"):
+    return weighted_loss((pred - target) ** 2, weight, reduction)
+
+
+def l1_loss(pred, target, weight=None, reduction="mean"):
+    return weighted_loss(jnp.abs(pred - target), weight, reduction)
+
+
+def smooth_l1_loss(pred, target, beta=1.0, weight=None, reduction="mean"):
+    """Huber/smooth-L1 (torch F.smooth_l1_loss semantics), the NeRF rgb loss
+    (reference systems/nerf.py:97)."""
+    d = jnp.abs(pred - target)
+    per = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    return weighted_loss(per, weight, reduction)
+
+
+def psnr(pred, target, valid_mask=None, reduction="mean"):
+    """-10 log10(mse) (reference systems/criterions.py:40-52)."""
+    se = (pred - target) ** 2
+    if valid_mask is not None:
+        se = jnp.where(valid_mask, se, jnp.nan)
+        mse = jnp.nanmean(se) if reduction == "mean" else jnp.nansum(se)
+    else:
+        mse = se.mean() if reduction == "mean" else se.sum()
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def binary_cross_entropy(pred, target, eps=1e-6):
+    """BCE on probabilities, clamped for numerical stability under low
+    precision (reference systems/criterions.py:155-159)."""
+    pred = jnp.clip(pred, eps, 1.0 - eps)
+    return -(target * jnp.log(pred) + (1.0 - target) * jnp.log(1.0 - pred)).mean()
+
+
+# ---------------------------------------------------------------------------
+# SSIM (gaussian-window variant, matching the torch implementation the
+# reference vendors at systems/criterions.py:55-152)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_window(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return g / g.sum()
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, data_range=1.0):
+    """Mean SSIM over an image pair.
+
+    Args:
+      img1, img2: (H, W, C) or (H, W) arrays in [0, data_range].
+    Returns scalar mean SSIM.
+    """
+    if img1.ndim == 2:
+        img1 = img1[..., None]
+        img2 = img2[..., None]
+    img1 = img1.astype(jnp.float32) / data_range
+    img2 = img2.astype(jnp.float32) / data_range
+
+    g = _gaussian_window(window_size, sigma)
+    kernel = jnp.outer(g, g)  # (K, K)
+
+    def blur(x):
+        # depthwise 2-D gaussian blur via two 1-D convs per channel
+        def conv_channel(c):
+            c = jnp.pad(c, window_size // 2, mode="edge")
+            c = jax.scipy.signal.convolve2d(c, kernel, mode="valid")
+            return c
+
+        return jnp.stack(
+            [conv_channel(x[..., i]) for i in range(x.shape[-1])], axis=-1
+        )
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = blur(img1 * img1) - mu1_sq
+    s2 = blur(img2 * img2) - mu2_sq
+    s12 = blur(img1 * img2) - mu12
+
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+    return ssim_map.mean()

@@ -1,0 +1,178 @@
+"""Training orchestration: the PyTorch-Lightning ``Trainer`` role.
+
+Owns what the reference delegates to Lightning (launch.py:100-121): the
+step-based fit loop with periodic validation, checkpointing and logging;
+validate/test/predict entries; end-of-fit test; mesh export. All compute
+happens in the system's jitted functions — this loop only schedules them.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from instant_nsr_pl_tpu.utils import savers
+from instant_nsr_pl_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_weights_only,
+    save_checkpoint,
+)
+from instant_nsr_pl_tpu.utils.loggers import ConsoleLogger, CSVLogger, TensorBoardLogger
+
+
+def data_arrays(dataset):
+    """Device-array dict for a dataset split (the eval-side counterpart of
+    ``BaseSystem.setup_data``)."""
+    return {
+        "images": jnp.asarray(dataset.all_images, jnp.float32),
+        "fg_masks": jnp.asarray(dataset.all_fg_masks, jnp.float32),
+        "c2w": jnp.asarray(dataset.all_c2w, jnp.float32),
+        "directions": jnp.asarray(dataset.directions, jnp.float32),
+    }
+
+
+class Trainer:
+    def __init__(self, config, exp_dir, runs_dir=None, loggers=None):
+        self.config = config
+        tcfg = config.trainer
+        self.max_steps = int(tcfg.max_steps)
+        self.log_every_n_steps = int(tcfg.get("log_every_n_steps", 100))
+        self.val_check_interval = int(tcfg.get("val_check_interval", 0) or 0)
+        self.limit_val_batches = int(tcfg.get("limit_val_batches", 0) or 1 << 30)
+        self.ckpt_every = int(
+            config.get("checkpoint", {}).get("every_n_train_steps", self.max_steps)
+        )
+        self.exp_dir = exp_dir
+        self.save_dir = os.path.join(exp_dir, "save")
+        self.ckpt_dir = os.path.join(exp_dir, "ckpt")
+        os.makedirs(self.save_dir, exist_ok=True)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        if loggers is None:
+            tb_dir = runs_dir or os.path.join(exp_dir, "tb_logs")
+            loggers = [
+                TensorBoardLogger(tb_dir),
+                CSVLogger(os.path.join(exp_dir, "csv_logs")),
+                ConsoleLogger(interval=self.log_every_n_steps),
+            ]
+        self.loggers = loggers
+
+    def _log(self, metrics, step):
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self, system, dm, resume=None, resume_weights_only=False):
+        dm.setup("fit")
+        system.setup_data(dm.train)
+        state = system.init_state(seed=int(self.config.get("seed", 42)))
+        if resume:
+            if resume_weights_only:
+                state = load_weights_only(resume, state)
+            else:
+                state = load_checkpoint(resume, state)
+        val_data = data_arrays(dm.val)
+
+        # optional profiler capture (reference has no profiler integration;
+        # rays/s is the north-star metric so we add one): trainer.profile
+        # gives a step range traced into <exp_dir>/profile
+        profile_cfg = self.config.trainer.get("profile", None)
+        prof_range = tuple(profile_cfg) if profile_cfg else None
+
+        start_step = int(state["step"])
+        t0 = time.time()
+        rays_done = 0
+        # host-side step counter: fetching state["step"] per step would sync
+        # the device every iteration (costly over the TPU tunnel)
+        for step in range(start_step + 1, self.max_steps + 1):
+            if prof_range and step - 1 == prof_range[0]:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
+            state, metrics = system.train_step(state)
+            if prof_range and step == prof_range[1]:
+                import jax
+
+                jax.profiler.stop_trace()
+            rays_done += system.train_num_rays
+            if step % self.log_every_n_steps == 0 or step == self.max_steps:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                metrics["train/rays_per_sec"] = rays_done / max(dt, 1e-9)
+                t0, rays_done = time.time(), 0
+                self._log(metrics, step)
+            if self.val_check_interval and step % self.val_check_interval == 0:
+                self._run_validation(system, state, val_data, step)
+            if self.ckpt_every and step % self.ckpt_every == 0:
+                self.save(system, state, step)
+        self.save(system, state, int(state["step"]))
+        return state
+
+    def _run_validation(self, system, state, val_data, step):
+        n = min(int(val_data["images"].shape[0]), self.limit_val_batches)
+        psnrs = []
+        for i in range(n):
+            res = system.evaluate_image(state, i, data=val_data)
+            psnrs.append(res["psnr"])
+            specs = system.image_grid_specs(res)
+            savers.save_image_grid(
+                self.save_dir, f"it{step}-{i}.png", specs
+            )
+        self._log({"val/psnr": float(np.mean(psnrs))}, step)
+        return float(np.mean(psnrs))
+
+    # -- validate / test / predict ----------------------------------------
+    def validate(self, system, dm, state):
+        dm.setup("validate")
+        data = data_arrays(dm.val)
+        step = int(state["step"])
+        return self._run_validation(system, state, data, step)
+
+    def test(self, system, dm, state):
+        dm.setup("test")
+        data = data_arrays(dm.test)
+        step = int(state["step"])
+        n = int(data["images"].shape[0])
+        psnrs = []
+        for i in range(n):
+            res = system.evaluate_image(state, i, data=data)
+            psnrs.append(res["psnr"])
+            specs = system.image_grid_specs(res)
+            savers.save_image_grid(self.save_dir, f"it{step}-test/{i}.png", specs)
+        psnr = float(np.mean(psnrs))
+        self._log({"test/psnr": psnr}, step)
+        savers.save_video(
+            self.save_dir,
+            f"it{step}-test.mp4",
+            os.path.join(self.save_dir, f"it{step}-test"),
+            r"(\d+)\.png",
+            fps=30,
+        )
+        self.export(system, state)
+        return psnr
+
+    def predict(self, system, dm, state):
+        return self.test(system, dm, state)
+
+    def export(self, system, state):
+        """Mesh export (reference systems/nerf.py:213-218)."""
+        export_cfg = self.config.get("export", {})
+        mesh = system.model.export(
+            state["params"], export_cfg, step=state["step"]
+        )
+        step = int(state["step"])
+        savers.save_obj(
+            self.save_dir,
+            f"it{step}-{self.config.model.get('name', 'model')}.obj",
+            mesh["v_pos"],
+            mesh["t_pos_idx"],
+            v_rgb=mesh.get("v_rgb"),
+        )
+        return mesh
+
+    def save(self, system, state, step):
+        return save_checkpoint(
+            os.path.join(self.ckpt_dir, f"step={step}.ckpt.npz"), state
+        )

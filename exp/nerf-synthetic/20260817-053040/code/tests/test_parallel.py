@@ -1,0 +1,145 @@
+"""Data-parallel training tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instant_nsr_pl_tpu.config import config_from_dict
+from instant_nsr_pl_tpu.registry import datasets, systems
+import instant_nsr_pl_tpu.datasets  # noqa: F401
+import instant_nsr_pl_tpu.systems  # noqa: F401
+from instant_nsr_pl_tpu.parallel import make_mesh
+
+
+def _cfg():
+    return config_from_dict(
+        {
+            "dataset": {"name": "synthetic", "size": 64, "n_train": 8, "n_val": 1},
+            "model": {
+                "name": "nerf",
+                "radius": 1.0,
+                "num_samples_per_ray": 64,
+                "train_num_rays": 64,
+                "max_train_num_rays": 512,
+                "train_num_samples": 8192,
+                "eval_chunk_rays": 1024,
+                "eval_num_samples": 65536,
+                "grid_prune": True,
+                "learned_background": False,
+                "background_color": "random",
+                "randomized": True,
+                "batch_image_sampling": True,
+                "geometry": {
+                    "name": "volume-density",
+                    "radius": 1.0,
+                    "feature_dim": 16,
+                    "density_activation": "trunc_exp",
+                    "density_bias": -1,
+                    "isosurface": {"resolution": 32, "chunk": 65536},
+                    "xyz_encoding_config": {
+                        "otype": "HashGrid",
+                        "n_levels": 6,
+                        "n_features_per_level": 2,
+                        "log2_hashmap_size": 15,
+                        "base_resolution": 16,
+                        "per_level_scale": 1.447269237440378,
+                    },
+                    "mlp_network_config": {
+                        "otype": "FullyFusedMLP",
+                        "activation": "ReLU",
+                        "output_activation": "none",
+                        "n_neurons": 32,
+                        "n_hidden_layers": 1,
+                    },
+                },
+                "texture": {
+                    "name": "volume-radiance",
+                    "input_feature_dim": 16,
+                    "dir_encoding_config": {"otype": "SphericalHarmonics", "degree": 2},
+                    "mlp_network_config": {
+                        "otype": "FullyFusedMLP",
+                        "activation": "ReLU",
+                        "output_activation": "Sigmoid",
+                        "n_neurons": 32,
+                        "n_hidden_layers": 1,
+                    },
+                },
+            },
+            "system": {
+                "name": "nerf-system",
+                "loss": {"lambda_rgb": 1.0, "lambda_distortion": 0.0},
+                "optimizer": {
+                    "name": "AdamW",
+                    "args": {"lr": 0.01, "betas": [0.9, 0.99], "eps": 1.0e-15},
+                },
+                "scheduler": None,
+            },
+        }
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_training_runs_and_learns():
+    cfg = _cfg()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    mesh = make_mesh(8)
+    system.configure_parallel(mesh)
+    state = system.init_state(seed=0)
+
+    first = None
+    for _ in range(60):
+        state, metrics = system.train_step(state)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+    last = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(last["train/loss"])
+    assert last["train/loss"] < first["train/loss"]
+    assert last["train/psnr"] > first["train/psnr"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_grid_update_collective_matches_single():
+    """The sharded occupancy update must produce the same grid as the
+    single-device update (same rng)."""
+    cfg = _cfg()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    state = system.init_state(seed=0)
+
+    rng = jax.random.PRNGKey(7)
+    occ_single = system.model.update_occupancy(
+        state["params"], state["occ"], rng, step=0, warmup=True
+    )
+    mesh = make_mesh(8)
+    occ_sharded = system.model.update_occupancy(
+        state["params"], state["occ"], rng, step=0, warmup=True, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(occ_single["grid"].occs),
+        np.asarray(occ_sharded["grid"].occs),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    assert (
+        np.asarray(occ_single["grid"].binary)
+        == np.asarray(occ_sharded["grid"].binary)
+    ).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_ray_count_divisibility_guard():
+    cfg = _cfg()
+    cfg.model["max_train_num_rays"] = 100  # not divisible by 8
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    with pytest.raises(AssertionError):
+        system.configure_parallel(make_mesh(8))
