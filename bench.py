@@ -121,8 +121,10 @@ def main():
     state = system.init_state(seed=0)
 
     # warm up: compile both occ-update variants + the train step, and let the
-    # occupancy grid converge a little so the steady-state packing is realistic
-    for _ in range(24):
+    # occupancy grid converge so steady-state packing is measured (training
+    # spends 98%+ of its steps there; a 10k-step run sustains ~25k rays/s
+    # while the first ~100 steps run ~2x slower on the untrained grid)
+    for _ in range(144):
         state, metrics = system.train_step(state)
     float(metrics["train/loss"])  # fetch = the only true sync on this runtime
 
