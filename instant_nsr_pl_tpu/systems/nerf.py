@@ -92,12 +92,17 @@ class NeRFSystem(BaseSystem):
 
     def evaluate_image(self, state, index: int, data=None):
         """Render one eval view and compute PSNR vs GT (reference
-        validation_step, systems/nerf.py:136-148)."""
+        validation_step, systems/nerf.py:136-148). Eval renders on white, so
+        masked GT is composited onto white too (the reference does this in
+        preprocess_data, systems/nerf.py:78-79)."""
         import numpy as np
 
         data = data if data is not None else self.data
         images = self.render_image(state, index, data=data)
         gt = np.asarray(data["images"][index])
+        if self.apply_mask:
+            mask = np.asarray(data["fg_masks"][index])[..., None]
+            gt = gt * mask + (1.0 - mask)
         value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
         return {"psnr": value, "images": images, "gt": gt}
 

@@ -194,6 +194,9 @@ class NeuSSystem(BaseSystem):
         data = data if data is not None else self.data
         images = self.render_image(state, index, data=data)
         gt = np.asarray(data["images"][index])
+        if self.apply_mask:
+            mask = np.asarray(data["fg_masks"][index])[..., None]
+            gt = gt * mask + (1.0 - mask)
         value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
         return {"psnr": value, "images": images, "gt": gt}
 
