@@ -352,22 +352,43 @@ class BaseSystem:
         chunk = self.eval_chunk_rays
         if "render" not in self._jitted:
             self._jitted["render"] = self.make_render_chunk()
+
+        def render_chunk_np(ro, rd):
+            n_real = ro.shape[0]
+            if n_real < chunk:  # pad to the static chunk size
+                pad = chunk - n_real
+                ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+                rd = jnp.concatenate(
+                    [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
+                )
+            out = self._jitted["render"](state, ro, rd)
+            return {k: np.asarray(v)[:n_real] for k, v in out.items()}
+
         outs = []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
-            ro = rays_o[start:end]
-            rd = rays_d[start:end]
-            if end - start < chunk:  # pad tail to the static chunk size
-                pad = chunk - (end - start)
-                ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
-                rd = jnp.concatenate([rd, jnp.ones((pad, 3)) * jnp.array([0.0, 0.0, 1.0])])
-            out = self._jitted["render"](state, ro, rd)
-            outs.append(
-                {k: np.asarray(v)[: end - start] for k, v in out.items()}
-            )
+            outs.append(render_chunk_np(rays_o[start:end], rays_d[start:end]))
         merged = {
             k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
+
+        # rays whose packed samples overflowed the static eval capacity
+        # (``rays_kept`` False) rendered incomplete — re-render them in
+        # follow-up passes where fewer rays share the same capacity. Bounded:
+        # each pass renders at least capacity/max_live rays completely.
+        if "rays_kept" in merged:
+            for _ in range(4):
+                bad = np.nonzero(~merged["rays_kept"][:, 0].astype(bool))[0]
+                if len(bad) == 0:
+                    break
+                for bstart in range(0, len(bad), chunk):
+                    group = bad[bstart : bstart + chunk]
+                    retry = render_chunk_np(rays_o[group], rays_d[group])
+                    kept_now = retry["rays_kept"][:, 0].astype(bool)
+                    for k in merged:
+                        merged[k][group[kept_now]] = retry[k][kept_now]
+            merged.pop("rays_kept")
+
         images = {}
         for k, v in merged.items():
             images[k] = v.reshape(h, w, -1)

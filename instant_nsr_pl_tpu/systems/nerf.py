@@ -88,6 +88,7 @@ class NeRFSystem(BaseSystem):
             "comp_rgb": out["comp_rgb"],
             "depth": out["depth"],
             "opacity": out["opacity"],
+            "rays_kept": out["rays_kept"][:, None],
         }
 
     def evaluate_image(self, state, index: int, data=None):

@@ -182,6 +182,7 @@ class NeuSSystem(BaseSystem):
             "comp_normal": out["comp_normal"],
             "depth": out["depth"],
             "opacity": out["opacity"],
+            "rays_kept": out["rays_kept_full"][:, None],
         }
         if self.model.learned_background:
             res["comp_rgb_fg"] = out["comp_rgb"]
