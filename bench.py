@@ -28,11 +28,28 @@ def build_system():
     import instant_nsr_pl_tpu.datasets  # noqa: F401
     import instant_nsr_pl_tpu.systems  # noqa: F401
 
+    # a sparse multi-object scene whose live-samples-per-ray profile (~30-40)
+    # matches lego's, so dynamic ray batching settles near the reference's
+    # operating point (8192 rays x ~32 live samples ~ the 262144 budget)
+    spheres = [
+        [0.55, 0.0, 0.1, 0.16, 0.8, 0.3, 0.2],
+        [-0.5, 0.3, -0.2, 0.14, 0.2, 0.7, 0.3],
+        [0.1, -0.55, 0.3, 0.15, 0.25, 0.35, 0.9],
+        [-0.2, -0.1, 0.55, 0.12, 0.9, 0.8, 0.2],
+        [0.3, 0.5, -0.4, 0.13, 0.6, 0.2, 0.8],
+        [-0.55, -0.45, 0.0, 0.12, 0.2, 0.8, 0.8],
+    ]
     cfg = config_from_dict(
         {
-            "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1},
+            "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1,
+                        "spheres": spheres},
             "model": {
                 "name": "nerf",
+                # fixed at the reference's converged operating point (8192
+                # rays); on this sparse scene live samples stay well under
+                # capacity, so no rays are truncated and one compilation
+                # suffices (dynamic bucketing would compile 4-5 variants)
+                "dynamic_ray_sampling": False,
                 "radius": 1.5,
                 "num_samples_per_ray": 1024,
                 "train_num_rays": 256,
@@ -120,11 +137,11 @@ def main():
             system.configure_parallel(make_mesh(n))
     state = system.init_state(seed=0)
 
-    # warm up: compile both occ-update variants + the train step, and let the
-    # occupancy grid converge so steady-state packing is measured (training
-    # spends 98%+ of its steps there; a 10k-step run sustains ~25k rays/s
-    # while the first ~100 steps run ~2x slower on the untrained grid)
-    for _ in range(144):
+    # warm up: compile both occ-update variants + the train step, let the
+    # occupancy grid converge so steady-state packing is measured, and let
+    # dynamic ray batching settle on its bucket (training spends 98%+ of its
+    # steps there)
+    for i in range(160):
         state, metrics = system.train_step(state)
     float(metrics["train/loss"])  # fetch = the only true sync on this runtime
 
@@ -135,7 +152,7 @@ def main():
     float(metrics["train/loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = system.train_num_rays * n_steps / dt
+    rays_per_sec = system.active_num_rays * n_steps / dt
     print(
         json.dumps(
             {

@@ -83,6 +83,17 @@ def look_at_c2w(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
     return np.concatenate([rot, eye[:, None]], axis=1).astype(np.float32)  # (3,4)
 
 
+def _spheres_from_config(config):
+    """Optional scene override: ``spheres: [[cx,cy,cz,r, R,G,B], ...]``."""
+    if "spheres" not in config:
+        return _DEFAULT_SPHERES
+    out = []
+    for s in config["spheres"]:
+        s = list(s)
+        out.append((tuple(s[0:3]), float(s[3]), tuple(s[4:7])))
+    return tuple(out)
+
+
 class SyntheticDatasetBase:
     def setup(self, config, split):
         self.config = config
@@ -110,7 +121,8 @@ class SyntheticDatasetBase:
         phis += rng.uniform(0, 2 * math.pi / max(n_images, 1))
         thetas = rng.uniform(0.35, 1.1, size=n_images)
 
-        spheres = _DEFAULT_SPHERES
+        spheres = _spheres_from_config(config)
+        self.spheres = spheres
         dirs_flat = self.directions.reshape(-1, 3)
         c2w_list, img_list, mask_list = [], [], []
         for phi, theta in zip(phis, thetas):

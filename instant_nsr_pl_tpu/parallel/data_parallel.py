@@ -45,20 +45,20 @@ class DataParallelPlan:
         self.system = system
         self.mesh = mesh
         self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        assert system.train_num_rays % self.n_dev == 0, (
-            f"train_num_rays {system.train_num_rays} must divide by device "
-            f"count {self.n_dev}"
-        )
+        for b in getattr(system, "ray_buckets", [system.train_num_rays]):
+            assert b % self.n_dev == 0, (
+                f"ray bucket {b} must divide by device count {self.n_dev}"
+            )
         assert system.train_capacity % self.n_dev == 0
         self.rays_per_dev = system.train_num_rays // self.n_dev
         self.capacity_per_dev = system.train_capacity // self.n_dev
 
     # -- train -------------------------------------------------------------
-    def make_train_step(self):
+    def make_train_step(self, n_rays=None):
         system = self.system
         mesh = self.mesh
         n_dev = self.n_dev
-        rays_per_dev = self.rays_per_dev
+        rays_per_dev = (n_rays or system.train_num_rays) // n_dev
         capacity_per_dev = self.capacity_per_dev
 
         def body(keys, params, occ, extra, step, data):

@@ -82,6 +82,24 @@ class BaseSystem:
         self.grid_warmup_steps = int(m.get("grid_warmup_steps", 256))
         self.grid_update_every = int(m.get("grid_update_every", 16))
 
+        # dynamic ray batching (reference systems/nerf.py:93-95): grow the
+        # ray count so live samples fill the static packed capacity. Static
+        # shapes force a BUCKETED version — a small power-of-two ladder up to
+        # max_train_num_rays, one compilation per visited bucket, switched
+        # host-side from the live-sample EMA at log cadence.
+        self.dynamic_ray_sampling = bool(m.get("dynamic_ray_sampling", True))
+        start = int(m.get("train_num_rays", max(self.train_num_rays // 8, 64)))
+        ladder = []
+        r = max(start, 64)
+        while r < self.train_num_rays:
+            ladder.append(r)
+            r *= 2
+        ladder.append(self.train_num_rays)
+        self.ray_buckets = ladder
+        self.active_num_rays = (
+            ladder[0] if self.dynamic_ray_sampling else self.train_num_rays
+        )
+
         self.data = None  # set by setup_data
         self._jitted = {}
 
@@ -186,15 +204,19 @@ class BaseSystem:
         pre-modulation inv_s snapshot)."""
         raise NotImplementedError
 
-    def make_train_step(self):
+    def make_train_step(self, n_rays=None):
         """Build the jitted train step: sample rays -> forward -> loss ->
-        grads -> optax update. One XLA computation per step."""
+        grads -> optax update. One XLA computation per step (per ray
+        bucket)."""
+        n_rays = n_rays or self.train_num_rays
 
         def step_fn(state, data):
             rng, k_sample, k_bg, k_fwd = jax.random.split(state["rng"], 4)
             step = state["step"]
-            rays_o, rays_d, rgb, fg_mask = self._sample_rays(data, k_sample)
-            bg = self._background_color(k_bg, self.train_num_rays, train=True)
+            rays_o, rays_d, rgb, fg_mask = self._sample_rays(
+                data, k_sample, n=n_rays
+            )
+            bg = self._background_color(k_bg, n_rays, train=True)
             if self.apply_mask:
                 rgb = rgb * fg_mask[:, None] + jnp.broadcast_to(
                     bg, rgb.shape
@@ -210,7 +232,7 @@ class BaseSystem:
             def loss_of(params):
                 return self.loss_fn(
                     params, state["occ"], batch, k_fwd, step,
-                    extra=state.get("extra"),
+                    n_rays=n_rays, extra=state.get("extra"),
                 )
 
             (loss, metrics), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -277,12 +299,29 @@ class BaseSystem:
                     warmup=step < self.grid_warmup_steps
                 )
             state = self._jitted[key](state)
-        if "train" not in self._jitted:
+        key = ("train", self.active_num_rays)
+        if key not in self._jitted:
             maker = plan.make_train_step if plan else self.make_train_step
-            self._jitted["train"] = maker()
-        out = self._jitted["train"](state, self.data)
+            self._jitted[key] = maker(n_rays=self.active_num_rays)
+        out = self._jitted[key](state, self.data)
         self._host_step = step + 1
         return out
+
+    def adapt_num_rays(self, live_samples: float):
+        """Bucketed dynamic ray batching (the reference's EMA
+        ``n_rays <- 0.9n + 0.1n * target/actual``, systems/nerf.py:93-95):
+        pick the largest bucket whose expected live-sample count fits 90% of
+        the packed capacity. Called host-side at log cadence."""
+        if not self.dynamic_ray_sampling or live_samples <= 0:
+            return self.active_num_rays
+        per_ray = live_samples / self.active_num_rays
+        desired = 0.9 * self.train_capacity / max(per_ray, 1e-6)
+        new = self.ray_buckets[0]
+        for b in self.ray_buckets:
+            if b <= desired:
+                new = b
+        self.active_num_rays = new
+        return new
 
     # -- evaluation ---------------------------------------------------------
     def make_render_chunk(self):

@@ -96,13 +96,16 @@ class Trainer:
                 import jax
 
                 jax.profiler.stop_trace()
-            rays_done += system.train_num_rays
+            rays_done += system.active_num_rays
             if step % self.log_every_n_steps == 0 or step == self.max_steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 metrics["train/rays_per_sec"] = rays_done / max(dt, 1e-9)
+                metrics["train/num_rays"] = system.active_num_rays
                 t0, rays_done = time.time(), 0
                 self._log(metrics, step)
+                # dynamic ray batching (bucketed; reference systems/nerf.py:93-95)
+                system.adapt_num_rays(metrics.get("train/num_samples", 0.0))
             if self.val_check_interval and step % self.val_check_interval == 0:
                 self._run_validation(system, state, val_data, step)
             if self.ckpt_every and step % self.ckpt_every == 0:

@@ -19,6 +19,7 @@ def _cfg():
             "dataset": {"name": "synthetic", "size": 64, "n_train": 8, "n_val": 1},
             "model": {
                 "name": "nerf",
+                "dynamic_ray_sampling": False,
                 "radius": 1.0,
                 "num_samples_per_ray": 64,
                 "train_num_rays": 64,

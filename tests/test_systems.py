@@ -138,6 +138,7 @@ def _nerf_config(size=64):
             "dataset": {"name": "synthetic", "size": size, "n_train": 12, "n_val": 1},
             "model": {
                 "name": "nerf",
+                "dynamic_ray_sampling": False,
                 "radius": 1.0,
                 "num_samples_per_ray": 96,
                 "train_num_rays": 64,
