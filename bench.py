@@ -16,8 +16,19 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+try:  # persistent compile cache: repeat runs skip the ~2 min TPU compiles
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
 
 BASELINE_RAYS_PER_SEC = 8192 * 20000 / 279.0  # RTX 3090, reference lego
 

@@ -42,6 +42,17 @@ def main():
     parser.add_argument("--verbose", action="store_true")
     args, extras = parser.parse_known_args()
 
+    try:  # persistent compile cache (repeat runs skip multi-minute compiles)
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_comp_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     from instant_nsr_pl_tpu.config import load_config
     from instant_nsr_pl_tpu.registry import datasets, systems
     import instant_nsr_pl_tpu.datasets  # noqa: F401
