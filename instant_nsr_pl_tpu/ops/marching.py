@@ -319,15 +319,16 @@ def march_rays(
         valid = valid & occ
 
     # compact: ray-major flat order keeps packed samples sorted by ray.
-    # cumsum + slot-scatter instead of jnp.nonzero (measured 47 ms vs 82 ms
-    # at the reference 8.4M-candidate workload; unique target slots take the
-    # fast scatter path)
+    # single key-sort (valid candidates keep their flat index as key, dead
+    # ones are pushed to the tail) — XLA's TPU sort is vectorized (~0.5
+    # ns/elt measured) while the previous cumsum + slot-scatter lowering
+    # cost 47 ms at the reference 8.4M-candidate workload
     flat_valid = valid.reshape(-1)
     num_valid = flat_valid.sum().astype(jnp.int32)
-    slots = jnp.cumsum(flat_valid) - 1  # target slot per valid candidate
     src = jnp.arange(R * S, dtype=jnp.int32)
-    sel = jnp.full((capacity,), R * S, jnp.int32)
-    sel = sel.at[jnp.where(flat_valid, slots, capacity)].set(src, mode="drop")
+    keys = jnp.where(flat_valid, src, jnp.int32(R * S))
+    (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
+    sel = sorted_keys[:capacity]
     packed_valid = sel < R * S
     safe = jnp.minimum(sel, R * S - 1).astype(jnp.int32)
     ray_indices = (safe // S).astype(jnp.int32)
