@@ -117,6 +117,35 @@ class ProgressiveBandHashGrid(HashGridEncoding):
         return self._encode(params["table"], x, level_mask=mask)
 
 
+class VectorMatrixEncoding:
+    """TensoRF-style VM factorized encoding (ops/vm.py) — the fewer-tap
+    TPU-native alternative to HashGrid (18 vs 128 gathers per sample; see
+    PERF.md). ``grad_mode`` mirrors HashGridEncoding: 'fast' uses the
+    sort-based scatter-free table gradient, 'autodiff' keeps arbitrary-order
+    differentiability for the NeuS analytic-eikonal path."""
+
+    def __init__(self, in_channels, config):
+        from instant_nsr_pl_tpu.ops.vm import VMSpec, vm_encode, vm_encode_fast, vm_init
+
+        assert in_channels == 3, "VM encoding is 3-D"
+        self.spec = VMSpec.from_config(config)
+        self.n_input_dims = 3
+        self.n_output_dims = self.spec.n_output_dims
+        default_mode = "fast" if jax.default_backend() == "tpu" else "autodiff"
+        self.grad_mode = str(config.get("grad_mode", default_mode))
+        self._init = vm_init
+        self._encode_auto = vm_encode
+        self._encode_fast = vm_encode_fast
+
+    def init(self, rng):
+        return {"vm": self._init(rng, self.spec)}
+
+    def apply(self, params, x, step=None):
+        if self.grad_mode == "fast":
+            return self._encode_fast(params["vm"], x, self.spec)
+        return self._encode_auto(params["vm"], x, self.spec)
+
+
 class SphericalHarmonicsEncoding:
     """Real-SH direction encoding (tcnn ``SphericalHarmonics`` role)."""
 
@@ -169,6 +198,8 @@ def get_encoding(n_input_dims, config):
         enc = ProgressiveBandHashGrid(n_input_dims, config)
     elif otype == "HashGrid":
         enc = HashGridEncoding(n_input_dims, config)
+    elif otype in ("VectorMatrix", "VM"):
+        enc = VectorMatrixEncoding(n_input_dims, config)
     elif otype == "SphericalHarmonics":
         enc = SphericalHarmonicsEncoding(n_input_dims, config)
     else:

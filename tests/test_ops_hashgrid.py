@@ -68,7 +68,7 @@ def _naive_encode(params, x, spec):
                 else:
                     idx = int(corner[0] + corner[1] * res + corner[2] * res * res)
                 w = np.prod(np.where(off == 1, frac, 1 - frac))
-                acc += w * params[spec.level_offsets[l] + idx]
+                acc += w * params[:, spec.level_offsets[l] + idx]
             out[n, l] = acc
     return out.reshape(N, -1)
 
