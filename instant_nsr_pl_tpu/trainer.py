@@ -50,13 +50,22 @@ class Trainer:
         self.ckpt_dir = os.path.join(exp_dir, "ckpt")
         os.makedirs(self.save_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        # multi-process runs: rank 0 owns logging, checkpoints and artifact
+        # files (the torch DDP rank-zero contract); every process still runs
+        # the full compute path (renders are collective over the mesh).
+        import jax
+
+        self.is_main = jax.process_index() == 0
         if loggers is None:
-            tb_dir = runs_dir or os.path.join(exp_dir, "tb_logs")
-            loggers = [
-                TensorBoardLogger(tb_dir),
-                CSVLogger(os.path.join(exp_dir, "csv_logs")),
-                ConsoleLogger(interval=self.log_every_n_steps),
-            ]
+            if self.is_main:
+                tb_dir = runs_dir or os.path.join(exp_dir, "tb_logs")
+                loggers = [
+                    TensorBoardLogger(tb_dir),
+                    CSVLogger(os.path.join(exp_dir, "csv_logs")),
+                    ConsoleLogger(interval=self.log_every_n_steps),
+                ]
+            else:
+                loggers = []
         self.loggers = loggers
 
     def _log(self, metrics, step):
@@ -119,10 +128,11 @@ class Trainer:
         for i in range(n):
             res = system.evaluate_image(state, i, data=val_data)
             psnrs.append(res["psnr"])
-            specs = system.image_grid_specs(res)
-            savers.save_image_grid(
-                self.save_dir, f"it{step}-{i}.png", specs
-            )
+            if self.is_main:
+                specs = system.image_grid_specs(res)
+                savers.save_image_grid(
+                    self.save_dir, f"it{step}-{i}.png", specs
+                )
         self._log({"val/psnr": float(np.mean(psnrs))}, step)
         return float(np.mean(psnrs))
 
@@ -142,17 +152,21 @@ class Trainer:
         for i in range(n):
             res = system.evaluate_image(state, i, data=data)
             psnrs.append(res["psnr"])
-            specs = system.image_grid_specs(res)
-            savers.save_image_grid(self.save_dir, f"it{step}-test/{i}.png", specs)
+            if self.is_main:
+                specs = system.image_grid_specs(res)
+                savers.save_image_grid(
+                    self.save_dir, f"it{step}-test/{i}.png", specs
+                )
         psnr = float(np.mean(psnrs))
         self._log({"test/psnr": psnr}, step)
-        savers.save_video(
-            self.save_dir,
-            f"it{step}-test.mp4",
-            os.path.join(self.save_dir, f"it{step}-test"),
-            r"(\d+)\.png",
-            fps=30,
-        )
+        if self.is_main:
+            savers.save_video(
+                self.save_dir,
+                f"it{step}-test.mp4",
+                os.path.join(self.save_dir, f"it{step}-test"),
+                r"(\d+)\.png",
+                fps=30,
+            )
         self.export(system, state)
         return psnr
 
@@ -166,16 +180,19 @@ class Trainer:
             state["params"], export_cfg, step=state["step"]
         )
         step = int(state["step"])
-        savers.save_obj(
-            self.save_dir,
-            f"it{step}-{self.config.model.get('name', 'model')}.obj",
-            mesh["v_pos"],
-            mesh["t_pos_idx"],
-            v_rgb=mesh.get("v_rgb"),
-        )
+        if self.is_main:
+            savers.save_obj(
+                self.save_dir,
+                f"it{step}-{self.config.model.get('name', 'model')}.obj",
+                mesh["v_pos"],
+                mesh["t_pos_idx"],
+                v_rgb=mesh.get("v_rgb"),
+            )
         return mesh
 
     def save(self, system, state, step):
+        if not self.is_main:
+            return None
         return save_checkpoint(
             os.path.join(self.ckpt_dir, f"step={step}.ckpt.npz"), state
         )

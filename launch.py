@@ -40,7 +40,24 @@ def main():
     parser.add_argument("--exp_dir", default="./exp")
     parser.add_argument("--runs_dir", default="./runs")
     parser.add_argument("--verbose", action="store_true")
+    # multi-host launch (reference: torch DDP env-rank discovery,
+    # utils/misc.py:42-50). Flags win over NSR_* env vars; on a TPU pod
+    # slice none are needed (the runtime self-discovers).
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (multi-host runs)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args, extras = parser.parse_known_args()
+
+    from instant_nsr_pl_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     try:  # persistent compile cache (repeat runs skip multi-minute compiles)
         import jax as _jax
@@ -92,6 +109,8 @@ def main():
         n_devices = (
             len(jax.devices()) if args.devices == "all" else int(args.devices)
         )
+    elif jax.process_count() > 1:
+        n_devices = len(jax.devices())  # multi-host implies the global mesh
     if n_devices is not None and n_devices > 1:
         from instant_nsr_pl_tpu.parallel import make_mesh
 
@@ -99,8 +118,9 @@ def main():
 
     trainer = Trainer(config, exp_dir, runs_dir=runs_dir)
 
-    snapshot_code(os.path.join(exp_dir, "code"))
-    snapshot_config(os.path.join(exp_dir, "config"), config, args.config)
+    if jax.process_index() == 0:
+        snapshot_code(os.path.join(exp_dir, "code"))
+        snapshot_config(os.path.join(exp_dir, "config"), config, args.config)
 
     if args.train:
         state = trainer.fit(

@@ -135,6 +135,93 @@ def test_dp_grid_update_collective_matches_single():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_gradient_parity_matches_single_device():
+    """THE DDP-correctness invariant: one pmean'd 8-device step equals a
+    single-device step over the union of the per-device batches at matched
+    RNG (params compared after the optax update)."""
+    import optax
+
+    cfg = _cfg()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    mesh = make_mesh(8)
+    plan = system.configure_parallel(mesh)
+    state = system.init_state(seed=0)
+    data = system.data
+    n_dev = plan.n_dev
+    rays_per_dev = plan.rays_per_dev
+    cap_per_dev = plan.capacity_per_dev
+
+    # --- hand-rolled single-device emulation of the DP step (reads only,
+    # computed BEFORE the donating dp step consumes the state buffers)
+    rng, k = jax.random.split(state["rng"])
+    keys = jax.random.split(k, n_dev)
+    grads_acc = None
+    losses = []
+    for key in np.asarray(keys):
+        key = jnp.asarray(key)
+        k_sample, k_bg, k_fwd = jax.random.split(key, 3)
+        rays_o, rays_d, rgb, fg_mask = system._sample_rays(
+            data, k_sample, n=rays_per_dev
+        )
+        bg = system._background_color(k_bg, rays_per_dev, train=True)
+        if system.apply_mask:
+            rgb = rgb * fg_mask[:, None] + jnp.broadcast_to(bg, rgb.shape) * (
+                1.0 - fg_mask[:, None]
+            )
+        batch = {
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "rgb": rgb,
+            "fg_mask": fg_mask,
+            "background_color": bg,
+        }
+
+        def loss_of(p):
+            return system.loss_fn(
+                p, state["occ"], batch, k_fwd, state["step"],
+                n_rays=rays_per_dev, capacity=cap_per_dev,
+                extra=state.get("extra", {}),
+            )
+
+        (loss, _), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state["params"]
+        )
+        losses.append(float(loss))
+        grads_acc = (
+            grads
+            if grads_acc is None
+            else jax.tree.map(jnp.add, grads_acc, grads)
+        )
+    grads_mean = jax.tree.map(lambda g: g / n_dev, grads_acc)
+    updates, _ = system.tx.update(
+        grads_mean, state["opt_state"], state["params"]
+    )
+    params_expect = jax.tree.map(
+        np.asarray, optax.apply_updates(state["params"], updates)
+    )
+    loss_expect = float(np.mean(losses))
+
+    # --- the actual DP step (donates state)
+    dp_step = plan.make_train_step()
+    new_state, metrics = dp_step(state, data)
+
+    assert abs(float(metrics["train/loss"]) - loss_expect) < 1e-5 * max(
+        1.0, abs(loss_expect)
+    )
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(params_expect)
+    flat_g = jax.tree_util.tree_leaves(
+        jax.tree.map(np.asarray, new_state["params"])
+    )
+    for (path, e), g in zip(flat_e, flat_g):
+        np.testing.assert_allclose(
+            e, g, rtol=2e-5, atol=1e-7, err_msg=jax.tree_util.keystr(path)
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dp_ray_count_divisibility_guard():
     cfg = _cfg()
     cfg.model["max_train_num_rays"] = 100  # not divisible by 8
