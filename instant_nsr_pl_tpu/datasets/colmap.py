@@ -269,6 +269,14 @@ class ColmapDatasetBase:
             setattr(self, k, v)
         self.img_wh = (self.w, self.h)
 
+        if split == "val":
+            # reference-faithful: colmap has no held-out split (reference
+            # datasets/colmap.py shares all images); flag it loudly.
+            print(
+                "[colmap] note: the val split aliases the TRAINING images "
+                "(reference behavior) — val metrics are train-set metrics",
+                flush=True,
+            )
         if split == "test":
             n_steps = int(config.get("n_test_traj_steps", 120))
             self.all_c2w = create_spheric_poses(props["all_c2w"][:, :, 3], n_steps)

@@ -110,6 +110,16 @@ class DTUDatasetBase:
             all_c2w.append(c2w[:3, :4])
 
             if split in ("train", "val"):
+                if split == "val" and i == 0:
+                    # reference-faithful behavior (reference datasets/dtu.py
+                    # val split loads the training images), but say so loudly:
+                    # "val PSNR" on DTU runs is train-set PSNR.
+                    print(
+                        "[dtu] note: the val split aliases the TRAINING "
+                        "images (reference behavior) — val metrics are "
+                        "train-set metrics",
+                        flush=True,
+                    )
                 img = Image.open(
                     os.path.join(config.root_dir, "image", f"{i:06d}.png")
                 ).resize(self.img_wh, Image.BICUBIC)

@@ -229,6 +229,22 @@ def hashgrid_encode(params, x, spec: HashGridSpec, level_mask=None):
 
 _MM_LANES = 512  # B in the (A, B) radix split; 4*128 lanes
 
+# Above this table size the sort-based segment sum beats the one-hot
+# matmul: matmul cost grows as 2*M*T*F dense FLOPs (~65 us per 1024 rows
+# of T at the reference M), the two-sort cost as ~4 ns * (M + T). Measured
+# crossover ~1<<17 at M = 2.1M taps (PERF.md round 2).
+_SORT_GRAD_MIN_SIZE = 1 << 17
+
+
+def _level_table_grad_sort(idx, wg, table_size):
+    """One level's dense table gradient via the two-sort segment sum
+    (ops/segment.py) — used for the big hashed levels where the one-hot
+    matmul's dense-FLOP inflation dominates the step (measured ~33 ms per
+    2^19-row level vs ~11 ms sorted)."""
+    from instant_nsr_pl_tpu.ops.segment import segment_sum_dense_sorted
+
+    return segment_sum_dense_sorted(idx, wg, table_size, feature_major=True)
+
 
 def _level_table_grad_matmul(idx, wg, table_size):
     """One level's dense table gradient via one-hot matmuls.
@@ -286,8 +302,35 @@ def hashgrid_encode_fast(params, x, spec: HashGridSpec, level_mask=None):
     return hashgrid_encode(params, x, spec, level_mask)
 
 
+def _encode_with_taps(params, x, spec: HashGridSpec, level_mask=None):
+    """Forward encode that also returns per-level tap data as residuals:
+    idx_all (L, 8, N) i32, w_all (L, 8, N) f32, g_all (L, F, 8, N) table
+    values. Saving these (~0.5 GB at the reference workload, ~1 ms of HBM
+    traffic to write+read) lets the backward skip re-hashing AND re-gathering
+    all L*8*N taps — the re-gather alone cost ~140 ms/step (PERF.md)."""
+    batch_shape = x.shape[:-1]
+    xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
+
+    outs, idxs, ws, gs = [], [], [], []
+    for level in range(spec.n_levels):
+        idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
+        g = jnp.take(params, idx, axis=1)  # (F, 8, N)
+        feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+        if level_mask is not None:
+            feat = feat * level_mask[level].astype(feat.dtype)
+        outs.append(feat)
+        idxs.append(idx)
+        ws.append(w)
+        gs.append(g)
+    out = jnp.concatenate(outs, axis=0)  # (L*F, N)
+    out = out.T.reshape(*batch_shape, spec.n_output_dims)
+    taps = (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs))
+    return out, taps
+
+
 def _encode_fast_fwd(params, x, spec, level_mask=None):
-    return hashgrid_encode(params, x, spec, level_mask), (params, x, level_mask)
+    out, taps = _encode_with_taps(params, x, spec, level_mask)
+    return out, (x, level_mask, taps)
 
 
 # static (8, 3) corner bit pattern and per-dim signs
@@ -297,26 +340,10 @@ _CORNER_BITS = np.array(
 _CORNER_SIGNS = _CORNER_BITS * 2.0 - 1.0
 
 
-def _level_updates(spec, xt, ct2, level_mask, level):
-    """(local row ids (8N,), weighted cotangents (8N, F), corner data) for
-    one level."""
-    n = xt.shape[1]
-    f = spec.n_features_per_level
-    idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
-    g_l = ct2[:, level, :]  # (N, F)
-    if level_mask is not None:
-        g_l = g_l * level_mask[level].astype(g_l.dtype)
-    wg = (w[:, :, None] * g_l[None, :, :]).reshape(8 * n, f)
-    local = (idx - np.int32(spec.level_offsets[level])).reshape(8 * n)
-    return local, wg.astype(jnp.float32), idx, g_l
-
-
-def _level_dx(spec, xt, params_t, idx, g_l, level):
+def _level_dx(spec, xt, g, g_l, level):
     """Position cotangent of one level: dL/dx_d = sum_c dw_c/dx_d * (T[idx_c].g),
-    vectorized over corners (no per-corner Python expressions)."""
-    tg = (
-        jnp.take(params_t, idx, axis=1).astype(jnp.float32) * g_l.T[:, None, :]
-    ).sum(axis=0)  # (8, N)
+    vectorized over corners, from the SAVED tap values ``g`` (F, 8, N)."""
+    tg = (g.astype(jnp.float32) * g_l.T[:, None, :]).sum(axis=0)  # (8, N)
     s = jnp.float32(spec.scales[level])
     pos = xt.astype(jnp.float32) * s + 0.5
     frac = pos - jnp.floor(pos)  # (3, N)
@@ -331,14 +358,18 @@ def _level_dx(spec, xt, params_t, idx, g_l, level):
 
 
 def _encode_fast_bwd(spec, res, ct):
-    params, x, level_mask = res
+    """Backward from saved taps: no re-hash, no re-gather (the re-gather of
+    all L*8*N taps alone cost ~140 ms/step at the reference workload).
+    Table gradients: two-sort segment sum for big (hashed) levels, one-hot
+    MXU matmul for small dense levels (_SORT_GRAD_MIN_SIZE crossover)."""
+    x, level_mask, (idx_all, w_all, g_all) = res
     batch_shape = x.shape[:-1]
     xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
+    n = xt.shape[1]
     f = spec.n_features_per_level
     ct2 = ct.reshape(-1, spec.n_levels, f)  # (N, L, F)
-    params_t = params
 
-    # group levels by table size so same-shape matmul bodies compile once
+    # group levels by table size so same-shape grad bodies compile once
     # (the hashed levels all share T = 2^log2_hashmap_size)
     sizes = spec.level_sizes
     groups: dict[int, list[int]] = {}
@@ -350,14 +381,25 @@ def _encode_fast_bwd(spec, res, ct):
     for t_l, levels in groups.items():
         locals_, wgs = [], []
         for level in levels:
-            local, wg, idx, g_l = _level_updates(spec, xt, ct2, level_mask, level)
-            locals_.append(local)
-            wgs.append(wg)
-            dx_t = dx_t + _level_dx(spec, xt, params_t, idx, g_l, level)
-        if len(levels) == 1:
-            dtable_parts[levels[0]] = _level_table_grad_matmul(
-                locals_[0], wgs[0], t_l
+            g_l = ct2[:, level, :]  # (N, F)
+            if level_mask is not None:
+                g_l = g_l * level_mask[level].astype(g_l.dtype)
+            w = w_all[level]  # (8, N)
+            wg = (w[:, :, None] * g_l[None, :, :]).reshape(8 * n, f)
+            locals_.append(
+                (idx_all[level] - np.int32(spec.level_offsets[level])).reshape(
+                    8 * n
+                )
             )
+            wgs.append(wg.astype(jnp.float32))
+            dx_t = dx_t + _level_dx(spec, xt, g_all[level], g_l, level)
+        level_grad = (
+            _level_table_grad_sort
+            if t_l >= _SORT_GRAD_MIN_SIZE
+            else _level_table_grad_matmul
+        )
+        if len(levels) == 1:
+            dtable_parts[levels[0]] = level_grad(locals_[0], wgs[0], t_l)
         else:
             # one scanned body for the whole same-size group
             stacked_idx = jnp.stack(locals_)  # (G, 8N)
@@ -365,7 +407,7 @@ def _encode_fast_bwd(spec, res, ct):
 
             def body(carry, inp):
                 li, lwg = inp
-                return carry, _level_table_grad_matmul(li, lwg, t_l)
+                return carry, level_grad(li, lwg, t_l)
 
             _, grads = jax.lax.scan(body, None, (stacked_idx, stacked_wg))
             for gi, level in enumerate(levels):
@@ -373,7 +415,7 @@ def _encode_fast_bwd(spec, res, ct):
 
     dtable = jnp.concatenate(
         [dtable_parts[level] for level in range(spec.n_levels)], axis=1
-    ).astype(params.dtype)
+    ).astype(g_all.dtype)
     dx = dx_t.T.reshape(*batch_shape, spec.n_input_dims).astype(x.dtype)
     dmask = None if level_mask is None else jnp.zeros_like(level_mask)
     return dtable, dx, dmask

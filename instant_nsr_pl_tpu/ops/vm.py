@@ -35,6 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from instant_nsr_pl_tpu.ops.segment import segment_sum_dense_sorted
+
 
 @dataclasses.dataclass(frozen=True)
 class VMSpec:
@@ -156,39 +158,8 @@ def vm_encode(params, x, spec: VMSpec):
 
 # ---------------------------------------------------------------------------
 # Fast path: custom VJP with sort-based (scatter-free) table gradients
+# (segment_sum_dense_sorted in ops/segment.py, shared with the hash grid)
 # ---------------------------------------------------------------------------
-
-
-def segment_sum_dense_sorted(rows, values, num_rows):
-    """Dense segment-sum grad[r] = sum_{m: rows[m]=r} values[m] without
-    scatter: the two-sort sentinel trick (see module docstring).
-
-    Args:
-      rows: (M,) int32 in [0, num_rows).
-      values: (M, C) float32.
-      num_rows: static output row count.
-    Returns:
-      (num_rows, C) float32.
-    """
-    m, c = values.shape
-    key_upd = rows.astype(jnp.int32) * 2
-    key_sent = jnp.arange(num_rows, dtype=jnp.int32) * 2 + 1
-    keys = jnp.concatenate([key_upd, key_sent])
-    vals = jnp.concatenate([values, jnp.zeros((num_rows, c), values.dtype)])
-    sorted_all = jax.lax.sort(
-        (keys,) + tuple(vals[:, j] for j in range(c)), num_keys=1
-    )
-    sk = sorted_all[0]
-    csums = [jnp.cumsum(v) for v in sorted_all[1:]]
-    # second sort: sentinels (odd keys) to the front in row order
-    big = jnp.int32(2 * num_rows + 2)
-    key2 = jnp.where(sk % 2 == 1, sk // 2, big)
-    sorted2 = jax.lax.sort((key2,) + tuple(csums), num_keys=1)
-    outs = []
-    for g in sorted2[1:]:
-        g = g[:num_rows]
-        outs.append(jnp.diff(g, prepend=jnp.zeros((1,), g.dtype)))
-    return jnp.stack(outs, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

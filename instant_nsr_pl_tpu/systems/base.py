@@ -29,8 +29,9 @@ def C(value, step):
     (or the 3-element form with start_step=0), linearly interpolated by step.
 
     Mirrors the reference's ``BaseSystem.C`` (systems/base.py:28-45), as a
-    pure traced function (``interpolation: epoch`` intentionally dropped —
-    the loop is step-based).
+    pure traced function. The reference's epoch-based interpolation (spelled
+    by a FLOAT ``end_step``) is intentionally unsupported — the loop is
+    step-based — and rejected loudly rather than silently misread.
     """
     if isinstance(value, (int, float)):
         return jnp.float32(value)
@@ -39,6 +40,12 @@ def C(value, step):
         value = [0] + value
     assert len(value) == 4, f"bad scheduled value spec {value}"
     start_step, start_value, end_value, end_step = value
+    if not isinstance(end_step, int):
+        raise ValueError(
+            f"scheduled value {value}: a float end_step selects the "
+            "reference's epoch-based interpolation, which this step-based "
+            "trainer does not support — use integer steps"
+        )
     t = jnp.clip(
         (jnp.asarray(step, jnp.float32) - start_step) / max(end_step - start_step, 1),
         0.0,
@@ -123,6 +130,7 @@ class BaseSystem:
         self.has_mask = bool(getattr(dataset, "has_mask", False))
         self.apply_mask = bool(getattr(dataset, "apply_mask", False))
         self.shared_directions = self.data["directions"].ndim == 3
+        self.data = self._globalize(self.data)
 
     # -- state --------------------------------------------------------------
     def init_state(self, seed: int = 0):
@@ -153,7 +161,7 @@ class BaseSystem:
             from instant_nsr_pl_tpu.utils.checkpoint import load_weights_only
 
             state = load_weights_only(weights, state)
-        return state
+        return self._globalize(state)
 
     # -- sampling (reference systems/nerf.py:33-85) -------------------------
     def _sample_rays(self, data, rng, n=None):
@@ -272,12 +280,27 @@ class BaseSystem:
     # -- parallelism --------------------------------------------------------
     def configure_parallel(self, mesh):
         """Switch training to the data-parallel shard_map plan over ``mesh``
-        (the reference's DDP role; see parallel/data_parallel.py)."""
+        (the reference's DDP role; see parallel/data_parallel.py). The mesh
+        may span processes (multi-host pod slice): state/data are then made
+        fully-replicated global arrays so the same jitted plan runs
+        unchanged."""
         from instant_nsr_pl_tpu.parallel.data_parallel import DataParallelPlan
 
         self._plan = DataParallelPlan(self, mesh)
         self._jitted.clear()  # train/occ/render all depend on the plan
+        if self.data is not None:
+            self.data = self._globalize(self.data)
         return self._plan
+
+    def _globalize(self, tree):
+        """Under a multi-process mesh, turn host-local arrays into
+        fully-replicated global ``jax.Array``s (no-op otherwise)."""
+        plan = getattr(self, "_plan", None)
+        if plan is None or jax.process_count() == 1:
+            return tree
+        from instant_nsr_pl_tpu.parallel.distributed import replicate_to_mesh
+
+        return replicate_to_mesh(tree, plan.mesh)
 
     # -- host-side orchestration -------------------------------------------
     def train_step(self, state):
@@ -360,7 +383,15 @@ class BaseSystem:
                 out_specs=P("dp"),
                 check_vma=False,
             )
-            return body(rays_o, rays_d)
+            out = body(rays_o, rays_d)
+            if jax.process_count() > 1:
+                # replicate so every process can fetch the full chunk
+                from jax.sharding import NamedSharding
+
+                out = jax.lax.with_sharding_constraint(
+                    out, NamedSharding(mesh, P())
+                )
+            return out
 
         return jax.jit(render_sharded)
 
@@ -426,6 +457,19 @@ class BaseSystem:
                     kept_now = retry["rays_kept"][:, 0].astype(bool)
                     for k in merged:
                         merged[k][group[kept_now]] = retry[k][kept_now]
+            residual = int((~merged["rays_kept"][:, 0].astype(bool)).sum())
+            if residual:
+                # silent truncation once cost +5.5 dB (round-1 stripe bug) —
+                # never drop rays quietly
+                import warnings
+
+                warnings.warn(
+                    f"render_image: {residual}/{n} rays still truncated "
+                    f"after 4 retry passes (eval capacity "
+                    f"{self.eval_capacity} too small for this scene); "
+                    "their pixels are incomplete",
+                    stacklevel=2,
+                )
             merged.pop("rays_kept")
 
         images = {}

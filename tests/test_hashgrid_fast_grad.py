@@ -69,6 +69,31 @@ def test_gradients_match_with_level_mask():
     assert np.abs(np.asarray(ga) - np.asarray(gf)).max() < 3e-3 * scale
 
 
+def test_gradients_match_sort_path(monkeypatch):
+    """Force the sort-based (two-sort segment sum) table gradient used for
+    the big hashed levels and check parity against autodiff — this path is
+    exact (fp32 sorts + cumsum), so tolerance is tight."""
+    import instant_nsr_pl_tpu.ops.hashgrid as hg
+
+    monkeypatch.setattr(hg, "_SORT_GRAD_MIN_SIZE", 0)
+    table, x = _setup()
+
+    def la(t, xx):
+        return (hashgrid_encode(t, xx, SPEC) ** 2).sum()
+
+    def lf(t, xx):
+        return (hashgrid_encode_fast(t, xx, SPEC) ** 2).sum()
+
+    ga_t, ga_x = jax.grad(la, argnums=(0, 1))(table, x)
+    gf_t, gf_x = jax.grad(lf, argnums=(0, 1))(table, x)
+    # fp32 cumsum over sorted runs: small associativity error only
+    scale_t = np.abs(np.asarray(ga_t)).max()
+    assert np.abs(np.asarray(ga_t) - np.asarray(gf_t)).max() < 1e-4 * scale_t
+    np.testing.assert_allclose(
+        np.asarray(ga_x), np.asarray(gf_x), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_strided_dilated_lookup_is_superset():
     """Strided probing against the dilated grid must never prune a sample
     that per-sample probing keeps (conservativeness)."""

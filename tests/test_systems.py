@@ -32,6 +32,13 @@ def test_scheduled_scalar():
     assert abs(float(C([1.0, 0.0, 10], 5)) - 0.5) < 1e-6
 
 
+def test_scheduled_scalar_rejects_epoch_interpolation():
+    """A float end_step selects the reference's epoch interpolation
+    (reference systems/base.py:40-44) — unsupported here, rejected loudly."""
+    with pytest.raises(ValueError, match="epoch"):
+        C([100, 0.0, 1.0, 200.0], 0)
+
+
 # ---------------------------------------------------------------------------
 # scheduler zoo parity vs torch (the reference drives torch schedulers,
 # systems/utils.py:12-346)
