@@ -48,7 +48,7 @@ def kernel_a(idx_ref, tab_ref, out_ref):
         return acc + tab_ref[pl.ds(row, 1), :]
 
     acc = jax.lax.fori_loop(0, CHUNK, body, jnp.zeros((1, 128), jnp.float32))
-    out_ref[:, :] = acc
+    out_ref[:, :] = jnp.broadcast_to(acc, (8, 128))
 
 
 def kernel_b(idx_ref, tab_ref, out_ref):
@@ -60,10 +60,22 @@ def kernel_b(idx_ref, tab_ref, out_ref):
     accs = jax.lax.fori_loop(
         0, CHUNK // 8, body, tuple(jnp.zeros((1, 128), jnp.float32) for _ in range(8))
     )
-    out = accs[0]
-    for j in range(1, 8):
-        out = out + accs[j]
-    out_ref[:, :] = out
+    out_ref[:, :] = jnp.concatenate(accs, axis=0)
+
+
+def kernel_c(idx_ref, tab_ref, out_ref):
+    """Gather rows into a VMEM scratch then reduce — writes each gathered
+    row (closer to the real encode, which must KEEP per-tap values)."""
+
+    def inner(scratch):
+        def body(i, _):
+            scratch[pl.ds(i % 8, 1), :] = tab_ref[pl.ds(idx_ref[i], 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0)
+        out_ref[:, :] = scratch[:, :]
+
+    pl.run_scoped(inner, pltpu.VMEM((8, 128), jnp.float32))
 
 
 def make_pallas(kernel):
@@ -80,10 +92,10 @@ def make_pallas(kernel):
                     pl.BlockSpec((T, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32),
         )(idx, tab)
 
     return jax.jit(run)
@@ -103,7 +115,11 @@ def main():
     print(f"XLA take {M} rows x128f32: {t*1e3:8.2f} ms  {t/M*1e9:6.2f} ns/row",
           flush=True)
 
-    for name, kern in (("A scalar-loop", kernel_a), ("B 8-stream", kernel_b)):
+    for name, kern in (
+        ("A scalar-loop", kernel_a),
+        ("B 8-stream", kernel_b),
+        ("C store-rows", kernel_c),
+    ):
         try:
             f = make_pallas(kern)
             t = timeit(f, idx, tab)
