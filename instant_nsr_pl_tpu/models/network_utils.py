@@ -146,6 +146,31 @@ class VectorMatrixEncoding:
         return self._encode_auto(params["vm"], x, self.spec)
 
 
+class CPEncoding:
+    """CP (line-factorized) encoding (ops/cp.py) — the ZERO-gather
+    TPU-native alternative: every table read is an exact one-hot matmul
+    on the MXU, so the encode has no random-access memory ops at all
+    (the cost knob on TPU; see PERF.md). Pure XLA ops => arbitrary-order
+    differentiable — no fast/autodiff split, the NeuS analytic-eikonal
+    path shares the training hot path."""
+
+    def __init__(self, in_channels, config):
+        from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_encode, cp_init
+
+        assert in_channels == 3, "CP encoding is 3-D"
+        self.spec = CPSpec.from_config(config)
+        self.n_input_dims = 3
+        self.n_output_dims = self.spec.n_output_dims
+        self._init = cp_init
+        self._encode = cp_encode
+
+    def init(self, rng):
+        return {"cp": self._init(rng, self.spec)}
+
+    def apply(self, params, x, step=None):
+        return self._encode(params["cp"], x, self.spec)
+
+
 class SphericalHarmonicsEncoding:
     """Real-SH direction encoding (tcnn ``SphericalHarmonics`` role)."""
 
@@ -200,6 +225,8 @@ def get_encoding(n_input_dims, config):
         enc = HashGridEncoding(n_input_dims, config)
     elif otype in ("VectorMatrix", "VM"):
         enc = VectorMatrixEncoding(n_input_dims, config)
+    elif otype in ("CP", "TensorCP"):
+        enc = CPEncoding(n_input_dims, config)
     elif otype == "SphericalHarmonics":
         enc = SphericalHarmonicsEncoding(n_input_dims, config)
     else:

@@ -46,6 +46,15 @@ VARIANTS = {
         "otype": "VectorMatrix", "n_components": 16,
         "plane_resolution": 512, "line_resolution": 2048, "n_scales": 2,
     },
+    # CP line factorization: ZERO gathers, all MXU one-hot matmuls
+    "cp": {
+        "otype": "CP", "n_components": 64,
+        "resolutions": [128, 2048], "n_features": 16,
+    },
+    "cp_big": {
+        "otype": "CP", "n_components": 128,
+        "resolutions": [64, 512, 4096], "n_features": 16,
+    },
 }
 
 
