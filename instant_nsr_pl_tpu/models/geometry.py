@@ -110,12 +110,34 @@ class VolumeSDF(BaseImplicitGeometry):
             self.encoding.n_output_dims, self.n_output_dims, config.mlp_network_config
         )
         self.grad_type = str(config.get("grad_type", "analytic"))
+        # Analytic gradients differentiate THROUGH d(sdf)/dx (eikonal loss —
+        # a second-order graph). Two ways to keep that correct:
+        #  - jac path (TPU default when the encoding supports it): the
+        #    encoding returns (feat, analytic jacobian) from ONE custom-VJP
+        #    op (ops/hashgrid.py hashgrid_encode_with_jac) and the sdf
+        #    gradient is chained through a plain VJP of the smooth MLP —
+        #    no forward-mode ever meets a custom op, and the table gradient
+        #    keeps the fast sort/MXU segment-sum backward;
+        #  - autodiff fallback: the encoding switches to its pure-autodiff
+        #    variant (scatter-add table gradient, arbitrary order).
+        # `analytic_jac: true|false` in the geometry config overrides the
+        # platform default (TPU on, others off).
+        self.use_jac = False
         if self.grad_type == "analytic":
-            # the eikonal loss differentiates THROUGH the analytic SDF
-            # gradient, so the encoding must stay autodiff-differentiable at
-            # second order — the custom-VJP fast path is first-order only
+            jac_capable = getattr(self.encoding, "has_jac", False)
+            default_jac = jax.default_backend() == "tpu" and jac_capable
+            self.use_jac = bool(config.get("analytic_jac", default_jac))
+            if self.use_jac and not jac_capable:
+                raise ValueError(
+                    "analytic_jac: true requires an encoding with a jac path "
+                    "(HashGrid/ProgressiveBandHashGrid)"
+                )
             inner = getattr(self.encoding, "encoding", None)
-            if inner is not None and hasattr(inner, "grad_mode"):
+            if (
+                not self.use_jac
+                and inner is not None
+                and hasattr(inner, "grad_mode")
+            ):
                 inner.grad_mode = "autodiff"
         self.fd_eps_config = config.get("finite_difference_eps", 1e-3)
         self.sdf_activation = (
@@ -177,7 +199,39 @@ class VolumeSDF(BaseImplicitGeometry):
         points = points.reshape(-1, 3)
         grad = feature = laplace = None
 
-        if with_grad and self.grad_type == "analytic":
+        if with_grad and self.grad_type == "analytic" and self.use_jac:
+            # jac path: encoding returns (feat, d feat/d pts) from one
+            # custom-VJP op; sdf gradient = jac^T @ d sdf/d feat with the
+            # MLP part as a plain (smooth) VJP. AABB contraction is linear,
+            # so the world-space chain factor is a constant.
+            assert self.contraction_type == ContractionType.AABB, (
+                "analytic_jac supports AABB contraction only"
+            )
+            pts = contract_to_unisphere(points, self.radius, self.contraction_type)
+            enc, jac_enc = self.encoding.apply_with_jac(
+                params["encoding"], pts, step=step
+            )  # (N, E), (3, N, E)
+
+            def head(e):
+                out = self.network.apply(params["network"], e, step=step)
+                out = out.astype(jnp.float32)
+                s = out[..., 0]
+                if self.sdf_activation is not None:
+                    s = self.sdf_activation(s + self.sdf_bias)
+                return s, out
+
+            # forward-mode through the (smooth, cheap) MLP only: linearize
+            # once, push the 3 encoding-jacobian rows as tangents. NEVER
+            # reverse-over-reverse here — a nested-vjp MLP graph SIGILLs the
+            # TPU compiler's fusion cost model at scale (CLAUDE.md), which
+            # is also why the non-jac analytic path below uses JVPs.
+            (sdf, feature), head_lin = jax.linearize(head, enc)
+            scale = 0.5 / self.radius  # d pts / d points (AABB is linear)
+            jac32 = jac_enc.astype(enc.dtype)
+            grad = jnp.stack(
+                [head_lin(jac32[d] * scale)[0] for d in range(3)], axis=-1
+            )
+        elif with_grad and self.grad_type == "analytic":
             # forward-mode (3 JVPs, one per input dim): with a 3-D input this
             # is the natural autodiff direction, stays differentiable at
             # second order for the eikonal loss, and avoids the nested-VJP

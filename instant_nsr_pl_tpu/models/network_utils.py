@@ -88,6 +88,14 @@ class HashGridEncoding:
     def apply(self, params, x, step=None):
         return self._encode(params["table"], x)
 
+    def apply_with_jac(self, params, x, step=None):
+        """(feat, jac (3, ..., LF)): features + analytic position Jacobian
+        from one set of gathers (ops/hashgrid.py hashgrid_encode_with_jac) —
+        the second-order-capable fast path for NeuS analytic gradients."""
+        from instant_nsr_pl_tpu.ops.hashgrid import hashgrid_encode_with_jac
+
+        return hashgrid_encode_with_jac(params["table"], x, self.spec)
+
 
 class ProgressiveBandHashGrid(HashGridEncoding):
     """Neuralangelo progressive level unmasking: features above the current
@@ -106,15 +114,21 @@ class ProgressiveBandHashGrid(HashGridEncoding):
         lvl = self.start_level + jnp.maximum(step - self.start_step, 0) // self.update_steps
         return jnp.minimum(lvl, self.spec.n_levels)
 
-    def apply(self, params, x, step=None):
+    def _mask(self, step):
         if step is None:
-            mask = None
-        else:
-            lvl = self.current_level(step)
-            mask = (
-                jnp.arange(self.spec.n_levels) < lvl
-            ).astype(jnp.float32)
-        return self._encode(params["table"], x, level_mask=mask)
+            return None
+        lvl = self.current_level(step)
+        return (jnp.arange(self.spec.n_levels) < lvl).astype(jnp.float32)
+
+    def apply(self, params, x, step=None):
+        return self._encode(params["table"], x, level_mask=self._mask(step))
+
+    def apply_with_jac(self, params, x, step=None):
+        from instant_nsr_pl_tpu.ops.hashgrid import hashgrid_encode_with_jac
+
+        return hashgrid_encode_with_jac(
+            params["table"], x, self.spec, self._mask(step)
+        )
 
 
 class VectorMatrixEncoding:
@@ -211,6 +225,23 @@ class CompositeEncoding:
         return jnp.concatenate(
             [x * self.xyz_scale + self.xyz_offset, enc], axis=-1
         )
+
+    @property
+    def has_jac(self) -> bool:
+        return hasattr(self.encoding, "apply_with_jac")
+
+    def apply_with_jac(self, params, x, step=None):
+        """(feat (..., D), jac (3, ..., D)) including the identity block of
+        the prepended xyz channels (d(x*s+o)/dx = s * I)."""
+        enc, jac = self.encoding.apply_with_jac(params, x, step=step)
+        if not self.include_xyz:
+            return enc, jac
+        feat = jnp.concatenate([x * self.xyz_scale + self.xyz_offset, enc], axis=-1)
+        eye = jnp.eye(3, dtype=jac.dtype) * self.xyz_scale  # (3, 3)
+        jac_xyz = jnp.broadcast_to(
+            eye.reshape(3, *(1,) * (x.ndim - 1), 3), (3, *x.shape[:-1], 3)
+        )
+        return feat, jnp.concatenate([jac_xyz, jac], axis=-1)
 
 
 def get_encoding(n_input_dims, config):

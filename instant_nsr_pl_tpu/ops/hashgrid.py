@@ -422,3 +422,187 @@ def _encode_fast_bwd(spec, res, ct):
 
 
 hashgrid_encode_fast.defvjp(_encode_fast_fwd, _encode_fast_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fast encode WITH analytic position Jacobian (second-order capable)
+# ---------------------------------------------------------------------------
+#
+# The NeuS analytic-gradient geometry needs d(encode)/dx inside the training
+# graph (eikonal loss; reference contract models/geometry.py:176-180), i.e.
+# the loss backward differentiates THROUGH the encoding's spatial gradient —
+# a second-order graph. The plain fast path (custom_vjp) cannot be composed
+# with forward-mode, so TPU NeuS used to fall back to the autodiff
+# scatter-add encode (~58 ns/update serial loops).
+#
+# Instead, this op returns the features AND their analytic Jacobian w.r.t.
+# x from ONE set of gathers (the Jacobian is a reweighted sum of the same 8
+# corner rows), and its hand-written backward consumes cotangents of BOTH
+# outputs:   dT[idx_c] += w_c ct_feat + sum_d dw_c/dx_d ct_jac_d   (fused
+# segment-sum per level) and dx uses the trilinear mixed second derivatives
+# (d2w/dx_d dx_e, e != d; the diagonal is zero). The NeuS geometry then
+# builds sdf gradients by chaining jac with a plain (smooth, autodiff-safe)
+# VJP of the MLP — no forward-mode ever touches a custom op. This is the
+# role of tcnn's hashgrid "backward-backward" CUDA kernels, restructured so
+# one first-order custom VJP contains all the hard parts.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode_with_jac(params, x, spec: HashGridSpec, level_mask=None):
+    """Encode + analytic position Jacobian.
+
+    Returns:
+      feat: (..., L*F) features (same as hashgrid_encode).
+      jac:  (3, ..., L*F) d feat / d x (coordinate-major: keeps the large
+        axes last for the TPU (8,128) tile layout).
+    """
+    out, _ = _encode_jac_fwd_impl(params, x, spec, level_mask)
+    return out
+
+
+def _jac_weights(spec, xt, level):
+    """d w_c / d frac_d and the corner products needed for the Jacobian.
+
+    Returns (dw, frac) with dw: (8, 3, N) = dw_c/dx_d in GRID units (multiply
+    by scale for world units is folded in by callers via spec.scales)."""
+    s = jnp.float32(spec.scales[level])
+    pos = xt.astype(jnp.float32) * s + 0.5
+    frac = pos - jnp.floor(pos)  # (3, N)
+    bits = jnp.asarray(_CORNER_BITS)[:, :, None]  # (8, 3, 1)
+    p = bits * frac[None] + (1.0 - bits) * (1.0 - frac[None])  # (8, 3, N)
+    prod_excl = jnp.stack(
+        [p[:, 1] * p[:, 2], p[:, 0] * p[:, 2], p[:, 0] * p[:, 1]], axis=1
+    )  # (8, 3, N): prod over dims != d
+    signs = jnp.asarray(_CORNER_SIGNS)[:, :, None]  # (8, 3, 1)
+    dw = signs * prod_excl * s  # (8, 3, N) in world units
+    return dw, p, signs, s
+
+
+def _encode_jac_fwd_impl(params, x, spec, level_mask):
+    batch_shape = x.shape[:-1]
+    xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
+    n = xt.shape[1]
+
+    outs, jacs, idxs, ws, gs = [], [], [], [], []
+    for level in range(spec.n_levels):
+        idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
+        g = jnp.take(params, idx, axis=1)  # (F, 8, N)
+        feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+        dw, _, _, _ = _jac_weights(spec, xt, level)  # (8, 3, N)
+        # jac_l: (3, F, N) = sum_c dw[c, d] * g[:, c]
+        jac_l = jnp.einsum("cdn,fcn->dfn", dw, g.astype(jnp.float32))
+        if level_mask is not None:
+            m = level_mask[level]
+            feat = feat * m.astype(feat.dtype)
+            jac_l = jac_l * m.astype(jac_l.dtype)
+        outs.append(feat)
+        jacs.append(jac_l)
+        idxs.append(idx)
+        ws.append(w)
+        gs.append(g)
+    out = jnp.concatenate(outs, axis=0)  # (L*F, N)
+    out = out.T.reshape(*batch_shape, spec.n_output_dims)
+    jac = jnp.concatenate(jacs, axis=1)  # (3, L*F, N)
+    jac = jac.transpose(0, 2, 1).reshape(3, *batch_shape, spec.n_output_dims)
+    taps = (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs))
+    return (out, jac.astype(out.dtype)), taps
+
+
+def _encode_jac_fwd(params, x, spec, level_mask=None):
+    out, taps = _encode_jac_fwd_impl(params, x, spec, level_mask)
+    return out, (x, level_mask, taps)
+
+
+def _encode_jac_bwd(spec, res, cts):
+    """Hand-written second-order backward: cotangents of (feat, jac) ->
+    (dtable, dx, dmask)."""
+    ct_feat, ct_jac = cts
+    x, level_mask, (idx_all, w_all, g_all) = res
+    batch_shape = x.shape[:-1]
+    xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
+    n = xt.shape[1]
+    f = spec.n_features_per_level
+    ctf = ct_feat.reshape(-1, spec.n_levels, f)  # (N, L, F)
+    ctj = ct_jac.reshape(3, -1, spec.n_levels, f)  # (3, N, L, F)
+
+    sizes = spec.level_sizes
+    groups: dict[int, list[int]] = {}
+    for level in range(spec.n_levels):
+        groups.setdefault(sizes[level], []).append(level)
+
+    dtable_parts: dict[int, jax.Array] = {}
+    dx_t = jnp.zeros_like(xt, dtype=jnp.float32)
+    for t_l, levels in groups.items():
+        locals_, wgs = [], []
+        for level in levels:
+            g_f = ctf[:, level, :].astype(jnp.float32)  # (N, F)
+            g_j = ctj[:, :, level, :].astype(jnp.float32)  # (3, N, F)
+            if level_mask is not None:
+                m = level_mask[level].astype(jnp.float32)
+                g_f = g_f * m
+                g_j = g_j * m
+            w = w_all[level]  # (8, N)
+            dw, p, signs, s = _jac_weights(spec, xt, level)  # dw: (8,3,N)
+            g = g_all[level].astype(jnp.float32)  # (F, 8, N)
+
+            # --- table gradient: updates u_c = w_c ct_feat + sum_d dw_cd ct_jac_d
+            upd = w[:, :, None] * g_f[None, :, :]  # (8, N, F)
+            upd = upd + jnp.einsum("cdn,dnf->cnf", dw, g_j)
+            locals_.append(
+                (idx_all[level] - np.int32(spec.level_offsets[level])).reshape(
+                    8 * n
+                )
+            )
+            wgs.append(upd.reshape(8 * n, f))
+
+            # --- dx, term 1: feat cotangent through dw (same as _level_dx)
+            tg_f = jnp.einsum("fcn,nf->cn", g, g_f)  # (8, N)
+            dx_t = dx_t + jnp.einsum("cdn,cn->dn", dw, tg_f)
+
+            # --- dx, term 2: jac cotangent through d2w/dx_e dx_d (e != d)
+            # d2w_c/(dx_e dx_d) = s^2 sig_cd sig_ce p_cg (g = third dim)
+            tg_j = jnp.einsum("fcn,enf->ecn", g, g_j)  # (3, 8, N)
+            # other(d, e) = third dim index != d, e  (d != e)
+            third = np.array(
+                [[0, 2, 1], [2, 0, 0], [1, 0, 0]], dtype=np.int32
+            )  # third[d][e]; diagonal unused
+            for d in range(3):
+                acc = jnp.zeros((n,), jnp.float32)
+                for e in range(3):
+                    if e == d:
+                        continue
+                    gdim = int(third[d][e])
+                    d2 = (
+                        signs[:, d] * signs[:, e] * p[:, gdim] * (s * s)
+                    )  # (8, N)
+                    acc = acc + (d2 * tg_j[e]).sum(axis=0)
+                dx_t = dx_t.at[d].add(acc)
+
+        level_grad = (
+            _level_table_grad_sort
+            if t_l >= _SORT_GRAD_MIN_SIZE
+            else _level_table_grad_matmul
+        )
+        if len(levels) == 1:
+            dtable_parts[levels[0]] = level_grad(locals_[0], wgs[0], t_l)
+        else:
+            stacked_idx = jnp.stack(locals_)
+            stacked_wg = jnp.stack(wgs)
+
+            def body(carry, inp):
+                li, lwg = inp
+                return carry, level_grad(li, lwg, t_l)
+
+            _, grads = jax.lax.scan(body, None, (stacked_idx, stacked_wg))
+            for gi, level in enumerate(levels):
+                dtable_parts[level] = grads[gi]
+
+    dtable = jnp.concatenate(
+        [dtable_parts[level] for level in range(spec.n_levels)], axis=1
+    ).astype(g_all.dtype)
+    dx = dx_t.T.reshape(*batch_shape, spec.n_input_dims).astype(x.dtype)
+    dmask = None if level_mask is None else jnp.zeros_like(level_mask)
+    return dtable, dx, dmask
+
+
+hashgrid_encode_with_jac.defvjp(_encode_jac_fwd, _encode_jac_bwd)

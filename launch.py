@@ -26,6 +26,12 @@ def main():
         default=None,
         help="number of devices for the data-parallel mesh (default: all)",
     )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="pin the JAX platform (e.g. 'cpu'); set via jax.config because "
+        "the JAX_PLATFORMS env var can be overridden by site plugins",
+    )
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--validate", action="store_true")
     parser.add_argument("--test", action="store_true")
@@ -48,6 +54,11 @@ def main():
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args, extras = parser.parse_known_args()
+
+    if args.platform is not None:
+        import jax as _jax_pin
+
+        _jax_pin.config.update("jax_platforms", args.platform)
 
     from instant_nsr_pl_tpu.parallel.distributed import (
         maybe_initialize_distributed,
