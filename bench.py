@@ -30,26 +30,53 @@ try:  # persistent compile cache: repeat runs skip the ~2 min TPU compiles
 except Exception:
     pass
 
-BASELINE_RAYS_PER_SEC = 8192 * 20000 / 279.0  # RTX 3090, reference lego
+# RTX 3090 reference operating points (BASELINE.md): NeRF lego 20k steps in
+# 279 s, NeuS (w/ masks) avg 11:44 = 704 s — both at the 8192-ray dynamic cap
+BASELINE_RAYS_PER_SEC = 8192 * 20000 / 279.0
+BASELINE_NEUS_RAYS_PER_SEC = 8192 * 20000 / 704.0
+
+# a sparse multi-object scene whose live-samples-per-ray profile (~30-40)
+# matches lego's, so dynamic ray batching settles near the reference's
+# operating point (8192 rays x ~32 live samples ~ the 262144 budget)
+_SPHERES = [
+    [0.55, 0.0, 0.1, 0.16, 0.8, 0.3, 0.2],
+    [-0.5, 0.3, -0.2, 0.14, 0.2, 0.7, 0.3],
+    [0.1, -0.55, 0.3, 0.15, 0.25, 0.35, 0.9],
+    [-0.2, -0.1, 0.55, 0.12, 0.9, 0.8, 0.2],
+    [0.3, 0.5, -0.4, 0.13, 0.6, 0.2, 0.8],
+    [-0.55, -0.45, 0.0, 0.12, 0.2, 0.8, 0.8],
+]
 
 
-def build_system():
+# xyz-encoding choices for the bench NeRF (A/B'd in PERF.md, 1000 steps on
+# the bench scene): the TPU-tuned flagship is the zero-gather CP encoding —
+# 149k rays/s at 29.3 val PSNR vs the reference tcnn hash config's 19.7k
+# rays/s at 28.0 PSNR (random gathers are the v5e cost floor; ops/cp.py).
+# 'hash' keeps the exact reference configuration for parity measurements.
+_ENCODINGS = {
+    "cp": {
+        "otype": "CP", "n_components": 64,
+        "resolutions": [128, 2048], "n_features": 16,
+    },
+    "cp_big": {  # +1.4 dB over cp at ~2/3 the throughput (103k rays/s)
+        "otype": "CP", "n_components": 128,
+        "resolutions": [64, 512, 4096], "n_features": 16,
+    },
+    "hash": {
+        "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 19, "base_resolution": 16,
+        "per_level_scale": 1.447269237440378,
+    },
+}
+
+
+def build_system(encoding: str = "cp"):
     from instant_nsr_pl_tpu.config import config_from_dict
     from instant_nsr_pl_tpu.registry import datasets, systems
     import instant_nsr_pl_tpu.datasets  # noqa: F401
     import instant_nsr_pl_tpu.systems  # noqa: F401
 
-    # a sparse multi-object scene whose live-samples-per-ray profile (~30-40)
-    # matches lego's, so dynamic ray batching settles near the reference's
-    # operating point (8192 rays x ~32 live samples ~ the 262144 budget)
-    spheres = [
-        [0.55, 0.0, 0.1, 0.16, 0.8, 0.3, 0.2],
-        [-0.5, 0.3, -0.2, 0.14, 0.2, 0.7, 0.3],
-        [0.1, -0.55, 0.3, 0.15, 0.25, 0.35, 0.9],
-        [-0.2, -0.1, 0.55, 0.12, 0.9, 0.8, 0.2],
-        [0.3, 0.5, -0.4, 0.13, 0.6, 0.2, 0.8],
-        [-0.55, -0.45, 0.0, 0.12, 0.2, 0.8, 0.8],
-    ]
+    spheres = _SPHERES
     cfg = config_from_dict(
         {
             "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1,
@@ -81,14 +108,7 @@ def build_system():
                     "density_activation": "trunc_exp",
                     "density_bias": -1,
                     "isosurface": {"resolution": 128, "chunk": 262144},
-                    "xyz_encoding_config": {
-                        "otype": "HashGrid",
-                        "n_levels": 16,
-                        "n_features_per_level": 2,
-                        "log2_hashmap_size": 19,
-                        "base_resolution": 16,
-                        "per_level_scale": 1.447269237440378,
-                    },
+                    "xyz_encoding_config": dict(_ENCODINGS[encoding]),
                     "mlp_network_config": {
                         "otype": "FullyFusedMLP",
                         "activation": "ReLU",
@@ -128,6 +148,108 @@ def build_system():
     return system
 
 
+def build_neus_system():
+    """NeuS at the reference's per-step workload (configs/neus-blender.yaml:
+    8192-ray cap, 262144-sample fg capacity, analytic gradients) on the same
+    procedural scene — the reference's slower model family
+    (/root/reference/README.md:100, 2.5x NeRF's step time)."""
+    from instant_nsr_pl_tpu.config import config_from_dict
+    from instant_nsr_pl_tpu.registry import datasets, systems
+    import instant_nsr_pl_tpu.datasets  # noqa: F401
+    import instant_nsr_pl_tpu.systems  # noqa: F401
+
+    cfg = config_from_dict(
+        {
+            "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1,
+                        "spheres": _SPHERES},
+            "model": {
+                "name": "neus",
+                "dynamic_ray_sampling": False,
+                "radius": 1.5,
+                "num_samples_per_ray": 1024,
+                "train_num_rays": 256,
+                "max_train_num_rays": 8192,
+                "train_num_samples": 262144,
+                "eval_chunk_rays": 4096,
+                "eval_num_samples": 262144,
+                "grid_prune": True,
+                "grid_prune_occ_thre": 0.001,
+                "grid_warmup_steps": 16,
+                "cos_anneal_end": 20000,
+                "learned_background": False,
+                "background_color": "random",
+                "randomized": True,
+                "batch_image_sampling": True,
+                "variance": {"init_val": 0.3, "modulate": False},
+                "geometry": {
+                    "name": "volume-sdf",
+                    "radius": 1.5,
+                    "feature_dim": 13,
+                    "grad_type": "analytic",
+                    "isosurface": {"resolution": 128, "chunk": 262144},
+                    "xyz_encoding_config": {
+                        "otype": "HashGrid",
+                        "n_levels": 16,
+                        "n_features_per_level": 2,
+                        "log2_hashmap_size": 19,
+                        "base_resolution": 32,
+                        "per_level_scale": 1.3195079107728942,
+                        "include_xyz": True,
+                    },
+                    "mlp_network_config": {
+                        "otype": "VanillaMLP",
+                        "activation": "ReLU",
+                        "output_activation": "none",
+                        "n_neurons": 64,
+                        "n_hidden_layers": 1,
+                        "sphere_init": True,
+                        "sphere_init_radius": 0.5,
+                        "weight_norm": True,
+                    },
+                },
+                "texture": {
+                    "name": "volume-radiance",
+                    "input_feature_dim": 16,
+                    "dir_encoding_config": {"otype": "SphericalHarmonics", "degree": 4},
+                    "mlp_network_config": {
+                        "otype": "FullyFusedMLP",
+                        "activation": "ReLU",
+                        "output_activation": "none",
+                        "n_neurons": 64,
+                        "n_hidden_layers": 2,
+                    },
+                    "color_activation": "sigmoid",
+                },
+            },
+            "system": {
+                "name": "neus-system",
+                "loss": {
+                    "lambda_rgb_mse": 10.0,
+                    "lambda_rgb_l1": 0.0,
+                    "lambda_mask": 0.0,
+                    "lambda_eikonal": 0.1,
+                    "lambda_curvature": 0.0,
+                    "lambda_sparsity": 0.01,
+                    "lambda_distortion": 0.0,
+                    "lambda_distortion_bg": 0.0,
+                    "lambda_opaque": 0.0,
+                    "sparsity_scale": 1.0,
+                },
+                "optimizer": {
+                    "name": "AdamW",
+                    "args": {"lr": 0.01, "betas": [0.9, 0.99], "eps": 1.0e-15},
+                },
+                "scheduler": None,
+            },
+        }
+    )
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    return system
+
+
 def main():
     import argparse
 
@@ -137,9 +259,26 @@ def main():
         default=None,
         help="data-parallel chip count ('all' or int); default single-device",
     )
+    p.add_argument(
+        "--workload",
+        default="nerf",
+        choices=("nerf", "neus"),
+        help="nerf (headline, default) or neus (the reference's slower family)",
+    )
+    p.add_argument(
+        "--encoding",
+        default="cp",
+        choices=sorted(_ENCODINGS),
+        help="nerf xyz encoding: cp (TPU flagship, default) | cp_big | "
+        "hash (exact reference tcnn config, for parity)",
+    )
     args, _ = p.parse_known_args()
 
-    system = build_system()
+    system = (
+        build_neus_system()
+        if args.workload == "neus"
+        else build_system(encoding=args.encoding)
+    )
     if args.devices is not None:
         n = len(jax.devices()) if args.devices == "all" else int(args.devices)
         if n > 1:
@@ -164,13 +303,20 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = system.active_num_rays * n_steps / dt
+    baseline = (
+        BASELINE_NEUS_RAYS_PER_SEC
+        if args.workload == "neus"
+        else BASELINE_RAYS_PER_SEC
+    )
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec",
+                "metric": f"train_rays_per_sec_{args.workload}"
+                if args.workload != "nerf"
+                else "train_rays_per_sec",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+                "vs_baseline": round(rays_per_sec / baseline, 4),
             }
         )
     )
