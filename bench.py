@@ -148,7 +148,7 @@ def build_system(encoding: str = "cp"):
     return system
 
 
-def build_neus_system():
+def build_neus_system(encoding: str = "hash"):
     """NeuS at the reference's per-step workload (configs/neus-blender.yaml:
     8192-ray cap, 262144-sample fg capacity, analytic gradients) on the same
     procedural scene — the reference's slower model family
@@ -158,6 +158,10 @@ def build_neus_system():
     import instant_nsr_pl_tpu.datasets  # noqa: F401
     import instant_nsr_pl_tpu.systems  # noqa: F401
 
+    enc_cfg = dict(_ENCODINGS[encoding])
+    if encoding == "hash":  # neus-blender's hash differs from the nerf one
+        enc_cfg.update(base_resolution=32, per_level_scale=1.3195079107728942)
+    enc_cfg["include_xyz"] = True
     cfg = config_from_dict(
         {
             "dataset": {"name": "synthetic", "size": 256, "n_train": 8, "n_val": 1,
@@ -187,15 +191,7 @@ def build_neus_system():
                     "feature_dim": 13,
                     "grad_type": "analytic",
                     "isosurface": {"resolution": 128, "chunk": 262144},
-                    "xyz_encoding_config": {
-                        "otype": "HashGrid",
-                        "n_levels": 16,
-                        "n_features_per_level": 2,
-                        "log2_hashmap_size": 19,
-                        "base_resolution": 32,
-                        "per_level_scale": 1.3195079107728942,
-                        "include_xyz": True,
-                    },
+                    "xyz_encoding_config": enc_cfg,
                     "mlp_network_config": {
                         "otype": "VanillaMLP",
                         "activation": "ReLU",
@@ -267,18 +263,17 @@ def main():
     )
     p.add_argument(
         "--encoding",
-        default="cp",
+        default=None,
         choices=sorted(_ENCODINGS),
-        help="nerf xyz encoding: cp (TPU flagship, default) | cp_big | "
-        "hash (exact reference tcnn config, for parity)",
+        help="xyz encoding: cp (TPU flagship; nerf default) | cp_big | "
+        "hash (reference tcnn config, for parity; neus default)",
     )
     args, _ = p.parse_known_args()
 
-    system = (
-        build_neus_system()
-        if args.workload == "neus"
-        else build_system(encoding=args.encoding)
-    )
+    if args.workload == "neus":
+        system = build_neus_system(encoding=args.encoding or "hash")
+    else:
+        system = build_system(encoding=args.encoding or "cp")
     if args.devices is not None:
         n = len(jax.devices()) if args.devices == "all" else int(args.devices)
         if n > 1:

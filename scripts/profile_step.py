@@ -118,25 +118,45 @@ def main():
 
     report("march + packed_positions", timeit_rep(op_march_pos, rays_o))
 
-    # -- hash encode -------------------------------------------------------
-    spec = HashGridSpec.from_config(
-        dict(system.config.model.geometry.xyz_encoding_config)
-    )
-    table = hashgrid_init(jax.random.PRNGKey(0), spec)
+    # -- xyz encode (whatever the bench config selects) --------------------
     x01 = (positions + 1.5) / 3.0
+    enc_cfg = system.config.model.geometry.xyz_encoding_config
+    if enc_cfg["otype"] in ("HashGrid", "ProgressiveBandHashGrid"):
+        spec = HashGridSpec.from_config(dict(enc_cfg))
+        table = hashgrid_init(jax.random.PRNGKey(0), spec)
 
-    def op_enc(x, tab):
-        return hashgrid_encode_fast(tab, x, spec)[0, 0]
+        def op_enc(x, tab):
+            return hashgrid_encode_fast(tab, x, spec)[0, 0]
 
-    report("hash encode fwd (fast path)", timeit_rep(op_enc, x01, table))
+        report("hash encode fwd (fast path)", timeit_rep(op_enc, x01, table))
 
-    def op_enc_grad(x, tab):
-        def loss(t):
-            return hashgrid_encode_fast(t, x, spec).sum()
+        def op_enc_grad(x, tab):
+            def loss(t):
+                return hashgrid_encode_fast(t, x, spec).sum()
 
-        return jax.grad(loss)(tab)[0, 0]
+            return jax.grad(loss)(tab)[0, 0]
 
-    report("hash encode fwd+bwd (fast path)", timeit_rep(op_enc_grad, x01, table))
+        report(
+            "hash encode fwd+bwd (fast path)", timeit_rep(op_enc_grad, x01, table)
+        )
+    else:
+        encoding = model.geometry.encoding_with_network.encoding
+        enc_params = params["geometry"]["encoding"]
+
+        def op_enc(x, ep):
+            return encoding.apply(ep, x)[0, 0]
+
+        report(f"xyz encode fwd ({enc_cfg['otype']})",
+               timeit_rep(op_enc, x01, enc_params))
+
+        def op_enc_grad(x, ep):
+            def loss(p):
+                return encoding.apply(p, x).sum()
+
+            return jax.tree.leaves(jax.grad(loss)(ep))[0].ravel()[0]
+
+        report(f"xyz encode fwd+bwd ({enc_cfg['otype']})",
+               timeit_rep(op_enc_grad, x01, enc_params))
 
     # -- geometry (encode + MLP) -------------------------------------------
     def op_geo(x):
