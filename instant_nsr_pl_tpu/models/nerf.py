@@ -81,6 +81,9 @@ class NeRFModel:
                 self.occ_stride -= 1
         else:
             self.occ_stride = 1
+        # group-granular compaction (ops/marching.py): sorts R*S/k group
+        # keys instead of R*S sample keys - the march's dominant cost
+        self.group_compact = bool(config.get("march_group_compact", True))
 
     # -- state ------------------------------------------------------------
     def init(self, rng):
@@ -156,6 +159,12 @@ class NeRFModel:
             occ_spec=self.occ_spec,
             occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
             occ_stride=self.occ_stride,
+            group_compact=(
+                self.group_compact
+                and self.grid_prune
+                and self.occ_stride > 1
+                and capacity % self.occ_stride == 0
+            ),
         )
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, intervals = packed_positions(samples, rays_o, rays_d)

@@ -85,6 +85,9 @@ class NeuSModel:
         )
         while self.num_samples_per_ray % self.occ_stride:
             self.occ_stride -= 1
+        # group-granular compaction (ops/marching.py): sorts R*S/k group
+        # keys instead of R*S sample keys - the march's dominant cost
+        self.group_compact = bool(config.get("march_group_compact", True))
         self.occ_thre = float(config.get("grid_prune_occ_thre", 0.01))
         self.occ_spec = OccGridSpec(
             resolution=128, radius=self.radius, contraction_type=ContractionType.AABB
@@ -292,6 +295,12 @@ class NeuSModel:
             occ_spec=self.occ_spec,
             occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
             occ_stride=self.occ_stride,
+            group_compact=(
+                self.group_compact
+                and self.grid_prune
+                and self.occ_stride > 1
+                and capacity % self.occ_stride == 0
+            ),
         )
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, dists = packed_positions(samples, rays_o, rays_d)

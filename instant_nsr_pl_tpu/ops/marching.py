@@ -258,6 +258,7 @@ def march_rays(
     occ_spec: OccGridSpec | None = None,
     occ_dilated=None,
     occ_stride: int = 1,
+    group_compact: bool = False,
 ) -> PackedSamples:
     """March rays, prune with the occupancy grid, compact to ``capacity``.
 
@@ -278,6 +279,14 @@ def march_rays(
         extra passed samples only consume capacity, never bias the render).
         Requires uniform stepping (cone_angle == 0) and
         k * render_step_size <= 2 * cell_size.
+      group_compact: compact at GROUP granularity (stride-k runs) instead of
+        per sample: the compaction sort runs over R*S/k keys instead of R*S
+        (the sort is the march's dominant cost at ~2 ns/key), and packed
+        sample distances are reconstructed analytically from the uniform
+        step schedule. Pruning is group-granular ALREADY on the strided
+        path, so the only semantic change is that a ray's tail group may
+        carry a few out-of-range slots (marked invalid, never composited)
+        and capacity truncation happens at group boundaries.
     """
     R = rays_o.shape[0]
     S = max_samples
@@ -294,6 +303,7 @@ def march_rays(
     t_mid = 0.5 * (t_starts + t_ends)
 
     valid = t_mid < t_max[:, None]  # (R, S)
+    occ_g = None
     if occ_binary is not None:
         if occ_stride > 1 and occ_dilated is not None:
             assert cone_angle <= 0.0, "strided lookup needs uniform stepping"
@@ -317,6 +327,51 @@ def march_rays(
             pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_mid
             occ = occupancy_lookup_coords(occ_binary, px, py, pz, occ_spec)
         valid = valid & occ
+
+    if group_compact:
+        assert occ_g is not None and cone_angle <= 0.0, (
+            "group_compact requires the strided occupancy path "
+            "(occ_stride > 1, uniform stepping)"
+        )
+        k = occ_stride
+        assert capacity % k == 0, (capacity, k)
+        sg = S // k
+        # group is live if its probe passed AND its first sample is in range
+        t_mid_g0 = t_mid[:, ::k]  # first-sample midpoint of each group
+        gvalid = occ_g & (t_mid_g0 < t_max[:, None])  # (R, SG)
+        num_valid = valid.sum().astype(jnp.int32)  # true per-sample count
+        src = jnp.arange(R * sg, dtype=jnp.int32)
+        keys = jnp.where(gvalid.reshape(-1), src, jnp.int32(R * sg))
+        (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
+        sel = sorted_keys[: capacity // k]  # (CAP/k,) group ids
+        g_packed = sel < R * sg
+        g_safe = jnp.minimum(sel, R * sg - 1).astype(jnp.int32)
+        g_ray = g_safe // sg  # (CAP/k,)
+        g_idx = g_safe % sg
+        # expand analytically from the uniform schedule:
+        # t_start[ray, s] = t_min[ray] + s * step  (t_min includes jitter)
+        off = jnp.arange(k, dtype=jnp.float32)[None, :]  # (1, k)
+        s_idx = g_idx[:, None].astype(jnp.float32) * k + off  # (CAP/k, k)
+        base = t_min[g_ray][:, None]
+        ts = base + s_idx * render_step_size
+        te = ts + render_step_size
+        in_range = 0.5 * (ts + te) < t_max[g_ray][:, None]
+        pv = g_packed[:, None] & in_range
+        ray_indices = jnp.where(
+            g_packed[:, None], g_ray[:, None], R - 1
+        )  # (CAP/k, k)
+        ray_indices = jnp.broadcast_to(ray_indices, pv.shape).reshape(-1)
+        # capacity truncation happens at group boundaries
+        per_ray_g = gvalid.sum(axis=1)
+        ray_kept = jnp.cumsum(per_ray_g) * k <= capacity
+        return PackedSamples(
+            ray_indices=ray_indices.astype(jnp.int32),
+            t_starts=jnp.where(pv, ts, 0.0).reshape(-1),
+            t_ends=jnp.where(pv, te, 0.0).reshape(-1),
+            valid=pv.reshape(-1),
+            num_valid=num_valid,
+            ray_kept=ray_kept,
+        )
 
     # compact: ray-major flat order keeps packed samples sorted by ray.
     # single key-sort (valid candidates keep their flat index as key, dead

@@ -1,0 +1,96 @@
+"""Group-granular march compaction must be sample-for-sample equivalent to
+the per-sample strided path when capacity is ample (pruning is already
+group-granular there), and conservative under truncation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instant_nsr_pl_tpu.ops.marching import (
+    OccGridSpec,
+    _dilate_binary,
+    march_rays,
+)
+from instant_nsr_pl_tpu.ops.ray import ray_aabb_intersect
+
+
+def _scene(key, n_rays=32):
+    spec = OccGridSpec(resolution=32, radius=1.0)
+    binary = jax.random.bernoulli(key, 0.2, (32**3,))
+    dilated = _dilate_binary(binary, 32)
+    rays_o = jnp.zeros((n_rays, 3)).at[:, 2].set(-2.5)
+    d = jax.random.normal(key, (n_rays, 3)) * 0.15 + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t0, t1 = ray_aabb_intersect(rays_o, rays_d, -1.0, 1.0)
+    return spec, binary, dilated, rays_o, rays_d, t0, t1
+
+
+def _live_set(s):
+    return {
+        (int(r), round(float(t), 5))
+        for r, t, v in zip(
+            np.asarray(s.ray_indices), np.asarray(s.t_starts), np.asarray(s.valid)
+        )
+        if v
+    }
+
+
+def test_group_compact_matches_strided():
+    spec, binary, dilated, rays_o, rays_d, t0, t1 = _scene(jax.random.PRNGKey(0))
+    kw = dict(
+        render_step_size=0.015, max_samples=256, capacity=8192,
+        occ_spec=spec, occ_binary=binary, occ_dilated=dilated, occ_stride=4,
+    )
+    ref = march_rays(rays_o, rays_d, t0, t1, **kw)
+    grp = march_rays(rays_o, rays_d, t0, t1, group_compact=True, **kw)
+    assert _live_set(ref) == _live_set(grp)
+    assert int(ref.num_valid) == int(grp.num_valid)
+    np.testing.assert_array_equal(np.asarray(ref.ray_kept), np.asarray(grp.ray_kept))
+
+
+def test_group_compact_stratified_matches():
+    spec, binary, dilated, rays_o, rays_d, t0, t1 = _scene(jax.random.PRNGKey(3))
+    kw = dict(
+        render_step_size=0.015, max_samples=256, capacity=8192,
+        occ_spec=spec, occ_binary=binary, occ_dilated=dilated, occ_stride=4,
+        stratified=True, rng=jax.random.PRNGKey(7),
+    )
+    ref = march_rays(rays_o, rays_d, t0, t1, **kw)
+    grp = march_rays(rays_o, rays_d, t0, t1, group_compact=True, **kw)
+    assert _live_set(ref) == _live_set(grp)
+
+
+def test_group_compact_truncation_is_group_aligned():
+    """With a tight capacity, kept rays must be complete (every live sample
+    of a kept ray present) and the buffer must never overflow."""
+    spec, binary, dilated, rays_o, rays_d, t0, t1 = _scene(jax.random.PRNGKey(1))
+    kw = dict(
+        render_step_size=0.015, max_samples=256, capacity=512,
+        occ_spec=spec, occ_binary=binary, occ_dilated=dilated, occ_stride=4,
+    )
+    ample = march_rays(
+        rays_o, rays_d, t0, t1, group_compact=True,
+        **{**kw, "capacity": 8192},
+    )
+    tight = march_rays(rays_o, rays_d, t0, t1, group_compact=True, **kw)
+    full = _live_set(ample)
+    got = _live_set(tight)
+    assert got <= full
+    kept = np.asarray(tight.ray_kept)
+    for r in np.unique([k[0] for k in full]):
+        if kept[r]:
+            missing = {k for k in full if k[0] == r} - got
+            assert not missing, (r, missing)
+
+
+def test_sorted_by_ray():
+    """Packed output must stay ray-sorted (compositing scans require it)."""
+    spec, binary, dilated, rays_o, rays_d, t0, t1 = _scene(jax.random.PRNGKey(2))
+    s = march_rays(
+        rays_o, rays_d, t0, t1,
+        render_step_size=0.015, max_samples=256, capacity=4096,
+        occ_spec=spec, occ_binary=binary, occ_dilated=dilated, occ_stride=4,
+        group_compact=True,
+    )
+    ri = np.asarray(s.ray_indices)[np.asarray(s.valid)]
+    assert (np.diff(ri) >= 0).all()
