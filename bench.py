@@ -148,11 +148,17 @@ def build_system(encoding: str = "cp"):
     return system
 
 
-def build_neus_system(encoding: str = "hash"):
+def build_neus_system(encoding: str = "cp"):
     """NeuS at the reference's per-step workload (configs/neus-blender.yaml:
     8192-ray cap, 262144-sample fg capacity, analytic gradients) on the same
     procedural scene — the reference's slower model family
-    (/root/reference/README.md:100, 2.5x NeRF's step time)."""
+    (/root/reference/README.md:100, 2.5x NeRF's step time).
+
+    Default encoding is the TPU flagship CP (125.3k rays/s, vs_baseline 0.54;
+    quality A/B-matched against hash at 1200 steps: val 30.86 vs 30.82 —
+    PERF.md); `--encoding hash` keeps the reference tcnn config for parity
+    (15.5k rays/s: second-order analytic grads through the gather-bound
+    hash encode are the v5e worst case)."""
     from instant_nsr_pl_tpu.config import config_from_dict
     from instant_nsr_pl_tpu.registry import datasets, systems
     import instant_nsr_pl_tpu.datasets  # noqa: F401
@@ -265,13 +271,13 @@ def main():
         "--encoding",
         default=None,
         choices=sorted(_ENCODINGS),
-        help="xyz encoding: cp (TPU flagship; nerf default) | cp_big | "
-        "hash (reference tcnn config, for parity; neus default)",
+        help="xyz encoding: cp (TPU flagship; default for both workloads) | "
+        "cp_big | hash (reference tcnn config, for parity)",
     )
     args, _ = p.parse_known_args()
 
     if args.workload == "neus":
-        system = build_neus_system(encoding=args.encoding or "hash")
+        system = build_neus_system(encoding=args.encoding or "cp")
     else:
         system = build_system(encoding=args.encoding or "cp")
     if args.devices is not None:
