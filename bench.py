@@ -145,6 +145,7 @@ def build_system(encoding: str = "cp"):
     dm.setup("fit")
     system = systems.make(cfg.system.name, cfg)
     system.setup_data(dm.train)
+    system.bench_dm = dm  # --mode eval renders dm.val
     return system
 
 
@@ -249,6 +250,7 @@ def build_neus_system(encoding: str = "cp"):
     dm.setup("fit")
     system = systems.make(cfg.system.name, cfg)
     system.setup_data(dm.train)
+    system.bench_dm = dm  # --mode eval renders dm.val
     return system
 
 
@@ -266,6 +268,15 @@ def main():
         default="nerf",
         choices=("nerf", "neus"),
         help="nerf (headline, default) or neus (the reference's slower family)",
+    )
+    p.add_argument(
+        "--mode",
+        default="train",
+        choices=("train", "eval"),
+        help="train (default: training-step rays/s) or eval (full-image "
+        "chunked render throughput after a short training warmup; "
+        "vs_baseline uses the TRAIN baseline denominator — no published "
+        "reference eval number exists)",
     )
     p.add_argument(
         "--encoding",
@@ -287,6 +298,41 @@ def main():
 
             system.configure_parallel(make_mesh(n))
     state = system.init_state(seed=0)
+
+    if args.mode == "eval":
+        from instant_nsr_pl_tpu.trainer import data_arrays
+
+        # short training warmup so the occupancy grid converges and eval
+        # measures a realistic packing (not an all-empty scene)
+        for _ in range(64):
+            state, metrics = system.train_step(state)
+        float(metrics["train/loss"])
+        dm = system.bench_dm
+        val = data_arrays(dm.val)
+        h, w = int(val["images"].shape[1]), int(val["images"].shape[2])
+        system.render_image(state, 0, data=val)  # compile + warm
+        n_imgs = 6
+        t0 = time.perf_counter()
+        for _ in range(n_imgs):
+            system.render_image(state, 0, data=val)
+        dt = time.perf_counter() - t0  # render_image returns numpy: synced
+        rays_per_sec = h * w * n_imgs / dt
+        baseline = (
+            BASELINE_NEUS_RAYS_PER_SEC
+            if args.workload == "neus"
+            else BASELINE_RAYS_PER_SEC
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"eval_rays_per_sec_{args.workload}",
+                    "value": round(rays_per_sec, 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(rays_per_sec / baseline, 4),
+                }
+            )
+        )
+        return
 
     # warm up: compile both occ-update variants + the train step, let the
     # occupancy grid converge so steady-state packing is measured, and let

@@ -85,6 +85,20 @@ class NeRFModel:
         # keys instead of R*S sample keys - the march's dominant cost
         self.group_compact = bool(config.get("march_group_compact", True))
 
+    def packed_group(self, capacity: int) -> int:
+        """Static block size of the packed buffer: k when the group-compacted
+        march guarantees single-ray aligned k-blocks (enables the two-level
+        segmented compositing in ops/rendering.py), else 1."""
+        if (
+            self.group_compact
+            and self.grid_prune
+            and self.occ_stride > 1
+            and capacity % self.occ_stride == 0
+            and self.cone_angle <= 0.0
+        ):
+            return self.occ_stride
+        return 1
+
     # -- state ------------------------------------------------------------
     def init(self, rng):
         k_geo, k_tex = jax.random.split(rng)
@@ -159,13 +173,9 @@ class NeRFModel:
             occ_spec=self.occ_spec,
             occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
             occ_stride=self.occ_stride,
-            group_compact=(
-                self.group_compact
-                and self.grid_prune
-                and self.occ_stride > 1
-                and capacity % self.occ_stride == 0
-            ),
+            group_compact=self.packed_group(capacity) > 1,
         )
+        grp = self.packed_group(capacity)
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, intervals = packed_positions(samples, rays_o, rays_d)
 
@@ -176,16 +186,19 @@ class NeRFModel:
 
         weights = render_weight_from_density(
             samples.t_starts, samples.t_ends, density,
-            samples.ray_indices, samples.valid,
+            samples.ray_indices, samples.valid, group=grp,
         )
         opacity = accumulate_along_rays(
-            weights, samples.ray_indices, None, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, None, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         depth = accumulate_along_rays(
-            weights, samples.ray_indices, t_mid, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, t_mid, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         comp_rgb = accumulate_along_rays(
-            weights, samples.ray_indices, rgb, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, rgb, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         bg = jnp.broadcast_to(jnp.asarray(background_color), comp_rgb.shape)
         comp_rgb = comp_rgb + bg * (1.0 - opacity)

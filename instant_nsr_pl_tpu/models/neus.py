@@ -113,6 +113,20 @@ class NeuSModel:
                 contraction_type=ContractionType.UN_BOUNDED_SPHERE,
             )
 
+    def packed_group(self, capacity: int) -> int:
+        """Static block size of the fg packed buffer: k when the
+        group-compacted march guarantees single-ray aligned k-blocks
+        (enables two-level segmented compositing, ops/rendering.py), else 1.
+        The bg march (exponential stepping) never group-compacts."""
+        if (
+            self.group_compact
+            and self.grid_prune
+            and self.occ_stride > 1
+            and capacity % self.occ_stride == 0
+        ):
+            return self.occ_stride
+        return 1
+
     # -- state -------------------------------------------------------------
     def init(self, rng):
         keys = jax.random.split(rng, 5)
@@ -295,13 +309,9 @@ class NeuSModel:
             occ_spec=self.occ_spec,
             occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
             occ_stride=self.occ_stride,
-            group_compact=(
-                self.group_compact
-                and self.grid_prune
-                and self.occ_stride > 1
-                and capacity % self.occ_stride == 0
-            ),
+            group_compact=self.packed_group(capacity) > 1,
         )
+        grp = self.packed_group(capacity)
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
         positions, dirs, t_mid, dists = packed_positions(samples, rays_o, rays_d)
 
@@ -338,18 +348,24 @@ class NeuSModel:
         )
         rgb = self.texture.apply(params["texture"], feature, dirs, normal, step=step)
 
-        weights = render_weight_from_alpha(alpha, samples.ray_indices, samples.valid)
+        weights = render_weight_from_alpha(
+            alpha, samples.ray_indices, samples.valid, group=grp
+        )
         opacity = accumulate_along_rays(
-            weights, samples.ray_indices, None, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, None, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         depth = accumulate_along_rays(
-            weights, samples.ray_indices, t_mid, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, t_mid, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         comp_rgb = accumulate_along_rays(
-            weights, samples.ray_indices, rgb, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, rgb, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         comp_normal = accumulate_along_rays(
-            weights, samples.ray_indices, normal, n_rays=n_rays, valid=samples.valid
+            weights, samples.ray_indices, normal, n_rays=n_rays,
+            valid=samples.valid, group=grp,
         )
         comp_normal = comp_normal / jnp.maximum(
             jnp.linalg.norm(comp_normal, axis=-1, keepdims=True), 1e-10

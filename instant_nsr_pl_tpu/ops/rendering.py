@@ -25,12 +25,41 @@ def _segment_starts(ray_indices, valid):
     return (ray_indices != prev) & valid
 
 
-def segmented_cumsum(x, ray_indices, valid, exclusive=False):
+def segmented_cumsum(x, ray_indices, valid, exclusive=False, group=1):
     """Per-segment cumulative sum over a packed, ray-sorted buffer.
 
     Invalid (padding) entries contribute zero and receive well-defined values.
+
+    ``group=k > 1`` asserts the caller's guarantee that every ALIGNED block
+    of k consecutive entries belongs to a single ray (the layout the
+    group-compacted march emits — ops/marching.py ``group_compact``). The
+    scan then runs two-level: a vectorized within-block cumsum plus a
+    k-times-smaller segmented scan over block totals, cutting the
+    O(log CAP)-pass associative scan's data volume by k.
     """
     x = jnp.where(valid, x, 0.0)
+    if group > 1:
+        cap = x.shape[0]
+        assert cap % group == 0, (cap, group)
+        g = cap // group
+        xb = x.reshape(g, group)
+        incl_in = jnp.cumsum(xb, axis=1)  # within-block inclusive
+        totals = incl_in[:, -1]  # (G,)
+        gray = ray_indices.reshape(g, group)[:, 0]
+        prev = jnp.concatenate([jnp.full((1,), -1, gray.dtype), gray[:-1]])
+        flags = gray != prev  # block-level segment starts
+
+        def combine(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, bv + jnp.where(bf, 0.0, av)
+
+        _, incl_tot = jax.lax.associative_scan(combine, (flags, totals))
+        out = (incl_in + (incl_tot - totals)[:, None]).reshape(-1)
+        if exclusive:
+            return out - x
+        return out
+
     flags = _segment_starts(ray_indices, valid)
 
     def combine(a, b):
@@ -44,15 +73,15 @@ def segmented_cumsum(x, ray_indices, valid, exclusive=False):
     return incl
 
 
-def exclusive_cumprod_segments(alpha, ray_indices, valid, eps=1e-10):
+def exclusive_cumprod_segments(alpha, ray_indices, valid, eps=1e-10, group=1):
     """Per-ray exclusive cumulative product of (1 - alpha): the transmittance
     ``T_i = prod_{j<i in same ray} (1 - alpha_j)``."""
     log1m = jnp.log(jnp.clip(1.0 - alpha, eps, 1.0))
-    excl = segmented_cumsum(log1m, ray_indices, valid, exclusive=True)
+    excl = segmented_cumsum(log1m, ray_indices, valid, exclusive=True, group=group)
     return jnp.exp(excl)
 
 
-def render_weight_from_density(t_starts, t_ends, sigma, ray_indices, valid):
+def render_weight_from_density(t_starts, t_ends, sigma, ray_indices, valid, group=1):
     """Weights w_i = alpha_i * T_i with alpha = 1 - exp(-sigma * dt).
 
     Matches nerfacc's ``render_weight_from_density`` on packed samples
@@ -61,24 +90,29 @@ def render_weight_from_density(t_starts, t_ends, sigma, ray_indices, valid):
     dt = t_ends - t_starts
     alpha = 1.0 - jnp.exp(-sigma * dt)
     alpha = jnp.where(valid, alpha, 0.0)
-    trans = exclusive_cumprod_segments(alpha, ray_indices, valid)
+    trans = exclusive_cumprod_segments(alpha, ray_indices, valid, group=group)
     return alpha * trans
 
 
-def render_weight_from_alpha(alpha, ray_indices, valid):
+def render_weight_from_alpha(alpha, ray_indices, valid, group=1):
     """Weights from per-sample alphas (NeuS path; reference: models/neus.py:237)."""
     alpha = jnp.where(valid, alpha, 0.0)
-    trans = exclusive_cumprod_segments(alpha, ray_indices, valid)
+    trans = exclusive_cumprod_segments(alpha, ray_indices, valid, group=group)
     return alpha * trans
 
 
-def accumulate_along_rays(weights, ray_indices, values=None, n_rays=None, valid=None):
+def accumulate_along_rays(
+    weights, ray_indices, values=None, n_rays=None, valid=None, group=1
+):
     """Per-ray sum of ``weights * values`` (nerfacc's ``accumulate_along_rays``).
 
     Args:
       weights: (CAP,)
       values: (CAP, D) or None (accumulates plain weights -> opacity).
       n_rays: static number of rays.
+      group: block size k under the single-ray-per-aligned-block guarantee
+        (see ``segmented_cumsum``): blocks are pre-reduced so the segment
+        sum runs over CAP/k rows.
     Returns:
       (n_rays, D) (D=1 when values is None).
     """
@@ -91,12 +125,20 @@ def accumulate_along_rays(weights, ray_indices, values=None, n_rays=None, valid=
         if values.ndim == 1:
             values = values[:, None]
         src = weights[:, None] * values
+    if group > 1:
+        cap, d = src.shape
+        assert cap % group == 0, (cap, group)
+        g = cap // group
+        src = src.reshape(g, group, d).sum(axis=1)
+        ray_indices = ray_indices.reshape(g, group)[:, 0]
     return jax.ops.segment_sum(
         src, ray_indices, num_segments=n_rays, indices_are_sorted=True
     )
 
 
-def distortion_loss(weights, midpoints, intervals, ray_indices, valid, n_rays):
+def distortion_loss(
+    weights, midpoints, intervals, ray_indices, valid, n_rays, group=1
+):
     """MipNeRF-360 distortion loss on packed samples in O(N) via segmented
     prefix sums; the role of ``torch_efficient_distloss.flatten_eff_distloss``
     (reference: systems/nerf.py:104, systems/neus.py:132,137).
@@ -108,8 +150,8 @@ def distortion_loss(weights, midpoints, intervals, ray_indices, valid, n_rays):
     w = jnp.where(valid, weights, 0.0)
     m = midpoints
     wm = w * m
-    w_prefix = segmented_cumsum(w, ray_indices, valid, exclusive=True)
-    wm_prefix = segmented_cumsum(wm, ray_indices, valid, exclusive=True)
+    w_prefix = segmented_cumsum(w, ray_indices, valid, exclusive=True, group=group)
+    wm_prefix = segmented_cumsum(wm, ray_indices, valid, exclusive=True, group=group)
     loss_bi = 2.0 * (w * (m * w_prefix - wm_prefix))
     loss_uni = (1.0 / 3.0) * (w * w * intervals)
     total = jnp.sum(jnp.where(valid, loss_bi + loss_uni, 0.0))

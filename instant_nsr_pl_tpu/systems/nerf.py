@@ -61,6 +61,7 @@ class NeRFSystem(BaseSystem):
                 out["ray_indices"],
                 out["sample_valid"],
                 n_rays=n_rays,
+                group=self.model.packed_group(capacity),
             )
             metrics["train/loss_distortion"] = loss_dist
             loss = loss + loss_dist * C(lambda_dist, step)

@@ -141,6 +141,7 @@ class NeuSSystem(BaseSystem):
                 out["weights"], out["points"], out["intervals"],
                 out["ray_indices"], out["sample_valid"],
                 n_rays=n_rays,
+                group=self.model.packed_group(capacity),
             )
             metrics["train/loss_distortion"] = loss_dist
             loss = loss + loss_dist * C(cfg.lambda_distortion, step)

@@ -90,6 +90,10 @@ def main():
         hashgrid_init,
     )
 
+    gc = (getattr(model, 'group_compact', False) and model.grid_prune
+          and model.occ_stride > 1 and CAP % model.occ_stride == 0)
+    print('group_compact:', gc)
+
     # -- march ------------------------------------------------------------
     def op_march(ro):
         t_min, t_max = ray_aabb_intersect(ro, rays_d, -1.5, 1.5)
@@ -99,6 +103,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
+            group_compact=gc,
         )
         return s.t_starts[0]
 
@@ -112,6 +117,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
+            group_compact=gc,
         )
         p, d, t_mid, iv = packed_positions(s, ro, rays_d)
         return p[0, 0]
@@ -192,6 +198,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
+            group_compact=gc,
         )
     )(rays_o)
     density_v = jnp.abs(jax.random.normal(key, (CAP,))) * 10

@@ -264,3 +264,121 @@ def test_march_rays_jit_static_shapes():
     t0, t1 = ray_aabb_intersect(o, d, -1.5, 1.5)
     out = f(o, d, t0, t1)
     assert out.t_starts.shape == (64,)
+
+
+def _random_grouped_packed(key, n_rays=7, n_groups=24, k=4):
+    """Packed buffer in the group-compacted layout: each aligned k-block is
+    single-ray; blocks of a ray are contiguous; each block has a valid
+    prefix (possibly empty only for tail padding blocks)."""
+    k1, k2 = jax.random.split(key)
+    blocks_per_ray = np.asarray(jax.random.randint(k1, (n_rays,), 0, 4))
+    ray_ids, live = [], []
+    for r, b in enumerate(blocks_per_ray):
+        for j in range(int(b)):
+            if len(ray_ids) == n_groups:
+                break
+            ray_ids.append(r)
+            # valid prefix of length 1..k (last block of a ray may be short)
+            live.append(k if j + 1 < int(b) else 1 + (r + j) % k)
+    while len(ray_ids) < n_groups:
+        ray_ids.append(n_rays - 1)  # padding blocks
+        live.append(0)
+    cap = n_groups * k
+    ray_indices = np.repeat(np.array(ray_ids, np.int32), k)
+    valid = np.zeros((n_groups, k), bool)
+    for g, m in enumerate(live):
+        valid[g, :m] = True
+    vals = np.asarray(jax.random.uniform(k2, (cap,)))
+    return (
+        jnp.asarray(ray_indices),
+        jnp.asarray(valid.reshape(-1)),
+        jnp.asarray(vals),
+    )
+
+
+def test_grouped_segmented_cumsum_matches_flat():
+    k = 4
+    ri, valid, x = _random_grouped_packed(jax.random.PRNGKey(0), k=k)
+    for exclusive in (False, True):
+        ref = segmented_cumsum(x, ri, valid, exclusive=exclusive)
+        got = segmented_cumsum(x, ri, valid, exclusive=exclusive, group=k)
+        np.testing.assert_allclose(
+            np.asarray(got)[np.asarray(valid)],
+            np.asarray(ref)[np.asarray(valid)],
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_grouped_render_weights_and_accumulate_match_flat():
+    k = 4
+    key = jax.random.PRNGKey(1)
+    ri, valid, x = _random_grouped_packed(key, k=k)
+    cap = x.shape[0]
+    t_starts = jnp.arange(cap, dtype=jnp.float32) * 0.01
+    t_ends = t_starts + 0.01
+    sigma = x * 30.0
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (cap, 3))
+    n_rays = 7
+
+    w_ref = render_weight_from_density(t_starts, t_ends, sigma, ri, valid)
+    w_grp = render_weight_from_density(
+        t_starts, t_ends, sigma, ri, valid, group=k
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_grp)[np.asarray(valid)],
+        np.asarray(w_ref)[np.asarray(valid)],
+        rtol=1e-6, atol=1e-7,
+    )
+    for values in (None, rgb):
+        a_ref = accumulate_along_rays(
+            w_ref, ri, values, n_rays=n_rays, valid=valid
+        )
+        a_grp = accumulate_along_rays(
+            w_grp, ri, values, n_rays=n_rays, valid=valid, group=k
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_grp), np.asarray(a_ref), rtol=1e-6, atol=1e-7
+        )
+
+    w_alpha_ref = render_weight_from_alpha(x * 0.5, ri, valid)
+    w_alpha_grp = render_weight_from_alpha(x * 0.5, ri, valid, group=k)
+    np.testing.assert_allclose(
+        np.asarray(w_alpha_grp)[np.asarray(valid)],
+        np.asarray(w_alpha_ref)[np.asarray(valid)],
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_grouped_distortion_loss_matches_flat():
+    k = 4
+    ri, valid, x = _random_grouped_packed(jax.random.PRNGKey(3), k=k)
+    cap = x.shape[0]
+    mid = jnp.arange(cap, dtype=jnp.float32) * 0.01 + 0.005
+    iv = jnp.full((cap,), 0.01)
+    ref = distortion_loss(x, mid, iv, ri, valid, n_rays=7)
+    got = distortion_loss(x, mid, iv, ri, valid, n_rays=7, group=k)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_grouped_weights_gradients_match_flat():
+    k = 4
+    ri, valid, x = _random_grouped_packed(jax.random.PRNGKey(4), k=k)
+    cap = x.shape[0]
+    t_starts = jnp.arange(cap, dtype=jnp.float32) * 0.01
+    t_ends = t_starts + 0.01
+    rgb = jax.random.uniform(jax.random.PRNGKey(5), (cap, 3))
+
+    def loss(sigma, group):
+        w = render_weight_from_density(
+            t_starts, t_ends, sigma, ri, valid, group=group
+        )
+        c = accumulate_along_rays(w, ri, rgb, n_rays=7, valid=valid, group=group)
+        return (c**2).sum()
+
+    g_ref = jax.grad(lambda s: loss(s, 1))(x * 30.0)
+    g_grp = jax.grad(lambda s: loss(s, k))(x * 30.0)
+    np.testing.assert_allclose(
+        np.asarray(g_grp)[np.asarray(valid)],
+        np.asarray(g_ref)[np.asarray(valid)],
+        rtol=1e-5, atol=1e-6,
+    )
