@@ -132,12 +132,8 @@ class VolumeSDF(BaseImplicitGeometry):
                     "analytic_jac: true requires an encoding with a jac path "
                     "(HashGrid/ProgressiveBandHashGrid)"
                 )
-            inner = getattr(self.encoding, "encoding", None)
-            if (
-                not self.use_jac
-                and inner is not None
-                and hasattr(inner, "grad_mode")
-            ):
+            inner = getattr(self.encoding, "encoding", self.encoding)
+            if not self.use_jac and hasattr(inner, "grad_mode"):
                 inner.grad_mode = "autodiff"
         self.fd_eps_config = config.get("finite_difference_eps", 1e-3)
         self.sdf_activation = (

@@ -164,12 +164,18 @@ class CPEncoding:
     """CP (line-factorized) encoding (ops/cp.py) — the ZERO-gather
     TPU-native alternative: every table read is an exact one-hot matmul
     on the MXU, so the encode has no random-access memory ops at all
-    (the cost knob on TPU; see PERF.md). Pure XLA ops => arbitrary-order
-    differentiable — no fast/autodiff split, the NeuS analytic-eikonal
-    path shares the training hot path."""
+    (the cost knob on TPU; see PERF.md).
+
+    ``grad_mode`` ('fast' default on TPU): 'fast' routes through the
+    hand-written Pallas forward/backward kernel (ops/cp_pallas.py,
+    one-hot operands stay in VMEM — 1.9-2x the XLA encode fwd+bwd,
+    325k vs 295k rays/s end-to-end on the NeRF bench); 'autodiff'
+    keeps the pure-XLA formulation, differentiable at arbitrary order
+    (the NeuS analytic-eikonal path switches to it, models/geometry.py)."""
 
     def __init__(self, in_channels, config):
         from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_encode, cp_init
+        from instant_nsr_pl_tpu.ops.cp_pallas import _supported
 
         assert in_channels == 3, "CP encoding is 3-D"
         self.spec = CPSpec.from_config(config)
@@ -177,12 +183,25 @@ class CPEncoding:
         self.n_output_dims = self.spec.n_output_dims
         self._init = cp_init
         self._encode = cp_encode
+        pallas_ok = all(
+            _supported(r, self.spec.n_components) for r in self.spec.resolutions
+        )
+        default_mode = (
+            "fast" if jax.default_backend() == "tpu" and pallas_ok else "autodiff"
+        )
+        self.grad_mode = str(config.get("grad_mode", default_mode))
+        if self.grad_mode == "fast" and not pallas_ok:
+            raise ValueError(
+                "grad_mode: fast needs CP resolutions and n_components "
+                f"divisible by 8; got {self.spec}"
+            )
 
     def init(self, rng):
         return {"cp": self._init(rng, self.spec)}
 
     def apply(self, params, x, step=None):
-        return self._encode(params["cp"], x, self.spec)
+        impl = "pallas" if self.grad_mode == "fast" else "xla"
+        return self._encode(params["cp"], x, self.spec, impl=impl)
 
 
 class SphericalHarmonicsEncoding:

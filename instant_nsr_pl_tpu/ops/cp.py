@@ -110,14 +110,49 @@ def _line_interp(line, u, res: int):
     return (1.0 - f) * g0 + f * g1
 
 
-def cp_encode(params, x, spec: CPSpec):
+def cp_encode(params, x, spec: CPSpec, impl: str = "xla"):
     """CP encode: positions (..., 3) in [0,1] -> (..., n_output_dims).
 
-    Pure XLA (matmuls + elementwise): arbitrary-order differentiable,
-    so there is no separate "fast" variant — this IS the fast path.
+    impl:
+      "xla": pure XLA (matmuls + elementwise) — arbitrary-order
+        differentiable; the NeuS analytic-eikonal path uses this.
+      "pallas": hand-written Pallas forward + backward
+        (ops/cp_pallas.py) — measured on v5e at the bench workload
+        (N=262k): fwd+bwd 7.5 ms vs 13.9 ms XLA (C=64, R=(128,2048));
+        3.8 vs 7.7 ms (C=32, R=2048) — the (N, R) one-hot operands
+        never touch HBM. First-order only (custom VJP), which covers
+        training: the renderers need coordinate grads (provided) but
+        not second-order.
     """
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, 3)
+    if impl == "pallas":
+        from instant_nsr_pl_tpu.ops.cp_pallas import _supported, cp_product
+
+        u3 = xf.astype(jnp.float32).T  # (3, N)
+        outs = []
+        for s, r in enumerate(spec.resolutions):
+            if not _supported(r, spec.n_components):
+                raise ValueError(
+                    f"cp_encode impl='pallas' needs R, C multiples of 8; "
+                    f"got R={r}, C={spec.n_components} (use impl='xla')"
+                )
+            prod = cp_product(
+                params[f"line_{s}_0"],
+                params[f"line_{s}_1"],
+                params[f"line_{s}_2"],
+                u3,
+                r,
+            )  # (C, N)
+            if spec.n_features > 0:
+                prod = jnp.dot(
+                    params[f"basis_{s}"].T.astype(jnp.bfloat16),
+                    prod.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # (F, N)
+            outs.append(prod)
+        out = jnp.concatenate(outs, axis=0).T  # (N, n_output_dims)
+        return out.reshape(*batch_shape, spec.n_output_dims).astype(x.dtype)
     outs = []
     for s, r in enumerate(spec.resolutions):
         g = _line_interp(params[f"line_{s}_0"], xf[:, 0], r)

@@ -1,0 +1,92 @@
+"""Pallas CP kernel (ops/cp_pallas.py) vs the XLA formulation: forward
+exact, gradients to bf16-contribution tolerance (both paths round one-hot
+matmul operands to bf16; accumulators are f32). Runs the real kernel logic
+through the Pallas interpreter on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_encode, cp_init
+from instant_nsr_pl_tpu.ops.cp_pallas import cp_product, cp_product_reference
+
+
+@pytest.fixture
+def lines():
+    key = jax.random.PRNGKey(0)
+    R, C, N = 64, 16, 300
+    ks = jax.random.split(key, 5)
+    lx = jax.random.normal(ks[0], (R, C)) * 0.1
+    ly = jax.random.normal(ks[1], (R, C)) * 0.1
+    lz = jax.random.normal(ks[2], (R, C)) * 0.1
+    # includes out-of-range coords (clip path) and exact grid points
+    u3 = jax.random.uniform(ks[3], (3, N), minval=-0.05, maxval=1.05)
+    u3 = u3.at[:, 0].set(0.0).at[:, 1].set(1.0).at[:, 2].set(0.5)
+    ct = jax.random.normal(ks[4], (16, N))
+    return R, lx, ly, lz, u3, ct
+
+
+def test_forward_matches_xla(lines):
+    R, lx, ly, lz, u3, _ = lines
+    ref = cp_product_reference(lx, ly, lz, u3, R)
+    got = cp_product(lx, ly, lz, u3, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_gradients_match_xla(lines):
+    R, lx, ly, lz, u3, ct = lines
+
+    def loss(fn):
+        return lambda a, b, c, u: (fn(a, b, c, u, R) * ct).sum()
+
+    g_ref = jax.grad(loss(cp_product_reference), argnums=(0, 1, 2, 3))(
+        lx, ly, lz, u3
+    )
+    g_got = jax.grad(loss(cp_product), argnums=(0, 1, 2, 3))(lx, ly, lz, u3)
+    # table grads: both paths round per-sample contributions to bf16
+    for a, b in zip(g_ref[:3], g_got[:3]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-3 * float(jnp.abs(a).max())
+        )
+    # coordinate grads are f32 throughout
+    np.testing.assert_allclose(
+        np.asarray(g_got[3]), np.asarray(g_ref[3]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_zero_coord_grad_outside_domain(lines):
+    R, lx, ly, lz, u3, ct = lines
+    u3 = u3.at[0, 5].set(-0.02).at[1, 6].set(1.02)
+    du = jax.grad(lambda u: (cp_product(lx, ly, lz, u, R) * ct).sum())(u3)
+    assert float(du[0, 5]) == 0.0 and float(du[1, 6]) == 0.0
+
+
+def test_cp_encode_pallas_matches_xla_full():
+    spec = CPSpec(n_components=16, resolutions=(16, 64), n_features=8)
+    params = cp_init(jax.random.PRNGKey(1), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (257, 3))
+    ref = cp_encode(params, x, spec, impl="xla")
+    got = cp_encode(params, x, spec, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def loss(p, impl):
+        return (cp_encode(p, x, spec, impl=impl) ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(params)
+    g_got = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_got[k])
+        np.testing.assert_allclose(b, a, atol=5e-3 * max(np.abs(a).max(), 1e-3))
+
+
+def test_padding_of_non_block_multiple_n():
+    # N deliberately not a multiple of any block size
+    R, C, N = 32, 8, 77
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    lx, ly, lz = (jax.random.normal(k, (R, C)) * 0.1 for k in ks[:3])
+    u3 = jax.random.uniform(ks[3], (3, N))
+    ref = cp_product_reference(lx, ly, lz, u3, R)
+    got = cp_product(lx, ly, lz, u3, R)
+    assert got.shape == (C, N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
