@@ -310,6 +310,7 @@ class NeuSModel:
             occ_dilated=occ["grid"].binary_dilated if self.grid_prune else None,
             occ_stride=self.occ_stride,
             group_compact=self.packed_group(capacity) > 1,
+            occ_bricks=occ["grid"].bricks if self.grid_prune else None,
         )
         grp = self.packed_group(capacity)
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)

@@ -54,19 +54,43 @@ class OccupancyGridState(NamedTuple):
     """EMA occupancy values + binarized field, flattened x-fastest
     (``i = x + y*R + z*R^2``). ``binary_dilated`` is the 3^3 max-pool of
     ``binary`` — a conservative superset used by the strided march lookup
-    (one occupancy probe per group of consecutive samples)."""
+    (one occupancy probe per group of consecutive samples). ``bricks`` is
+    the dilated field re-packed into overlapping bit-bricks
+    (``pack_bricks``) so the march can fetch one WIDE gather row per RUN
+    of consecutive probes instead of one narrow row each — XLA's TPU
+    gather costs ~6-8 ns per ROW regardless of width (PERF.md), so
+    row-sharing is the only way to shrink probe cost without changing
+    semantics; a (1, 128) dummy for grids that can't use it."""
 
     occs: jax.Array  # (R^3,) float32
     binary: jax.Array  # (R^3,) bool
     binary_dilated: jax.Array  # (R^3,) bool
+    bricks: jax.Array  # ((R/8)^3, 128) uint32
+
+
+def _wants_bricks(spec: OccGridSpec) -> bool:
+    # the brick probe needs linear (AABB) cell coords and a divisible grid;
+    # unbounded (contracted) grids use per-sample probing anyway
+    return (
+        spec.resolution % 8 == 0
+        and spec.contraction_type == ContractionType.AABB
+    )
+
+
+def _bricks_of(binary_dilated, spec: OccGridSpec):
+    if not _wants_bricks(spec):
+        return jnp.zeros((1, 128), jnp.uint32)
+    return pack_bricks(binary_dilated, spec.resolution)
 
 
 def occupancy_grid_init(spec: OccGridSpec) -> OccupancyGridState:
     n = spec.num_cells
+    nb = (spec.resolution // 8) ** 3 if _wants_bricks(spec) else 1
     return OccupancyGridState(
         occs=jnp.zeros((n,), jnp.float32),
         binary=jnp.zeros((n,), bool),
         binary_dilated=jnp.zeros((n,), bool),
+        bricks=jnp.zeros((nb, 128), jnp.uint32),
     )
 
 
@@ -77,6 +101,70 @@ def _dilate_binary(binary, resolution):
         b, False, jax.lax.bitwise_or, (3, 3, 3), (1, 1, 1), "SAME"
     )
     return d.reshape(-1)
+
+
+BRICK_RUN = 4  # consecutive probes sharing one brick-row gather
+
+
+def pack_bricks(binary, resolution: int):
+    """Re-pack a flattened binary field (x-fastest) into OVERLAPPING
+    16^3-cell bit-bricks at stride 8: brick (bz, by, bx) covers cells
+    ``[8*b, 8*b + 16)`` per axis, so ANY run of cells with per-axis extent
+    <= 8 fits entirely inside the brick of its min corner. Returns
+    ``((res/8)^3, 128) uint32``: bit ``lx + 16*ly + 256*lz`` of brick-local
+    cell (lx, ly, lz) lives in word ``(ly >> 1) + 8*lz`` at position
+    ``lx + 16*(ly & 1)``.
+
+    Built gather-free (pad + reshape + 8 shifted slices + shift-sum); cost
+    ~6 ms on v5e at 128^3, amortized over the grid-update cadence."""
+    res = resolution
+    nb = res // 8
+    b = binary.reshape(res, res, res)  # [z, y, x]
+    p = jnp.pad(b, ((0, 8),) * 3)
+    X = p.reshape(nb + 1, 8, nb + 1, 8, nb + 1, 8).transpose(0, 2, 4, 1, 3, 5)
+    parts = [
+        X[dz:nb + dz, dy:nb + dy, dx:nb + dx]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    cube = jnp.stack(parts).reshape(2, 2, 2, nb, nb, nb, 8, 8, 8)
+    cube = cube.transpose(3, 4, 5, 0, 6, 1, 7, 2, 8).reshape(nb**3, 16, 16, 16)
+    c = cube.reshape(nb**3, 16, 8, 2, 16).astype(jnp.uint32)  # [lz,lyh,lyl,lx]
+    lx = jnp.arange(16, dtype=jnp.uint32)[None, None, None, None, :]
+    lyl = jnp.arange(2, dtype=jnp.uint32)[None, None, None, :, None]
+    words = (c << (lx + 16 * lyl)).sum(axis=(3, 4), dtype=jnp.uint32)
+    return words.reshape(nb**3, 128)  # word index = lyh + 8*lz
+
+
+def probe_bricks_coords(bricks, cx, cy, cz, resolution: int):
+    """Occupancy of cells (..., G) given CLAMPED int32 cell coords, where
+    each aligned run of BRICK_RUN consecutive probes spans <= 8 cells per
+    axis (caller-guaranteed: (BRICK_RUN-1) * k * step <= 7 * cell). ONE
+    wide gather per run + in-register lane select and bit extract; value
+    is bit-identical to ``binary_dilated[flat]``."""
+    nb = resolution // 8
+    shp = cx.shape
+    r = BRICK_RUN
+    rx = cx.reshape(-1, r)
+    ry = cy.reshape(-1, r)
+    rz = cz.reshape(-1, r)
+    bx = jnp.min(rx, 1) >> 3
+    by = jnp.min(ry, 1) >> 3
+    bz = jnp.min(rz, 1) >> 3
+    bid = (bz * nb + by) * nb + bx  # (M,)
+    rows = bricks[bid]  # (M, 128) uint32 — the only gather
+    lx = (rx - (bx << 3)[:, None]).astype(jnp.uint32)
+    ly = (ry - (by << 3)[:, None]).astype(jnp.uint32)
+    lz = (rz - (bz << 3)[:, None]).astype(jnp.uint32)
+    w = ((ly >> 1) + 8 * lz).astype(jnp.int32)  # (M, r)
+    bit = lx + 16 * (ly & 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rx.shape[0], r, 128), 2)
+    sel = lanes == w[..., None]
+    # XLA fuses the compare + select into the lane reduction (nothing
+    # (M, r, 128)-shaped reaches HBM)
+    word = jnp.where(sel, rows[:, None, :], jnp.uint32(0)).sum(
+        -1, dtype=jnp.uint32
+    )
+    return ((word >> bit) & 1).astype(bool).reshape(shp)
 
 
 def _cell_coords(indices, resolution):
@@ -160,10 +248,12 @@ def occupancy_grid_update(
     occs = state.occs.at[indices].set(new_vals)
     thre = jnp.minimum(occs.mean(), occ_thre)
     binary = occs > thre
+    dilated = _dilate_binary(binary, res)
     return OccupancyGridState(
         occs=occs,
         binary=binary,
-        binary_dilated=_dilate_binary(binary, res),
+        binary_dilated=dilated,
+        bricks=_bricks_of(dilated, spec),
     )
 
 
@@ -176,6 +266,21 @@ def occupancy_lookup(binary, positions, spec: OccGridSpec):
         positions[..., 2],
         spec,
     )
+
+
+def occupancy_cells_coords(px, py, pz, spec: OccGridSpec):
+    """World coords -> clamped int32 cell coords + the in-domain unit test."""
+    ux, uy, uz = contract_coords(px, py, pz, spec.radius, spec.contraction_type)
+    res = spec.resolution
+    cx = jnp.clip(jnp.floor(ux * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip(jnp.floor(uy * res).astype(jnp.int32), 0, res - 1)
+    cz = jnp.clip(jnp.floor(uz * res).astype(jnp.int32), 0, res - 1)
+    inside = (
+        (ux >= 0.0) & (ux < 1.0)
+        & (uy >= 0.0) & (uy < 1.0)
+        & (uz >= 0.0) & (uz < 1.0)
+    )
+    return cx, cy, cz, inside
 
 
 def occupancy_lookup_coords(binary, px, py, pz, spec: OccGridSpec, clamp=False):
@@ -242,6 +347,36 @@ def _t_schedule(t_min, render_step_size, cone_angle, max_samples):
     return jnp.where(i <= n_lin, t_lin, t_geo)
 
 
+def _expand_groups(
+    sel, num_valid, ray_kept, R, sg, k, t_min, t_max, step, capacity
+):
+    """Expand sorted fine-group ids (ascending flat id, padding = R*sg) into
+    packed per-sample buffers, reconstructing distances analytically from
+    the uniform step schedule ``t_start[ray, s] = t_min[ray] + s * step``
+    (t_min includes the stratified jitter)."""
+    g_packed = sel < R * sg
+    g_safe = jnp.minimum(sel, R * sg - 1).astype(jnp.int32)
+    g_ray = g_safe // sg  # (CAP/k,)
+    g_idx = g_safe % sg
+    off = jnp.arange(k, dtype=jnp.float32)[None, :]  # (1, k)
+    s_idx = g_idx[:, None].astype(jnp.float32) * k + off  # (CAP/k, k)
+    base = t_min[g_ray][:, None]
+    ts = base + s_idx * step
+    te = ts + step
+    in_range = 0.5 * (ts + te) < t_max[g_ray][:, None]
+    pv = g_packed[:, None] & in_range
+    ray_indices = jnp.where(g_packed[:, None], g_ray[:, None], R - 1)
+    ray_indices = jnp.broadcast_to(ray_indices, pv.shape).reshape(-1)
+    return PackedSamples(
+        ray_indices=ray_indices.astype(jnp.int32),
+        t_starts=jnp.where(pv, ts, 0.0).reshape(-1),
+        t_ends=jnp.where(pv, te, 0.0).reshape(-1),
+        valid=pv.reshape(-1),
+        num_valid=num_valid,
+        ray_kept=ray_kept,
+    )
+
+
 def march_rays(
     rays_o,
     rays_d,
@@ -259,6 +394,7 @@ def march_rays(
     occ_dilated=None,
     occ_stride: int = 1,
     group_compact: bool = False,
+    occ_bricks=None,
 ) -> PackedSamples:
     """March rays, prune with the occupancy grid, compact to ``capacity``.
 
@@ -287,6 +423,14 @@ def march_rays(
         path, so the only semantic change is that a ray's tail group may
         carry a few out-of-range slots (marked invalid, never composited)
         and capacity truncation happens at group boundaries.
+      occ_bricks: the dilated field bit-packed into overlapping bricks
+        (``OccupancyGridState.bricks``). When given (and the layout
+        divides), the strided probe fetches ONE wide (128-word) gather row
+        per run of BRICK_RUN consecutive group probes and extracts the
+        bits in-register — bit-identical results at ~3.5x less probe cost
+        (the gather is ~6-8 ns/ROW regardless of width; PERF.md). Needs
+        AABB contraction and ``(BRICK_RUN - 1) * k * step <= 7 * cell``,
+        which the model-level ``k * step <= 2 * cell`` choice implies.
     """
     R = rays_o.shape[0]
     S = max_samples
@@ -316,9 +460,27 @@ def march_rays(
             px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_c
             py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_c
             pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_c
-            occ_g = occupancy_lookup_coords(
-                occ_dilated, px, py, pz, occ_spec, clamp=True
+            cell = 2.0 * occ_spec.radius / occ_spec.resolution
+            use_bricks = (
+                occ_bricks is not None
+                and occ_bricks.shape[0] == (occ_spec.resolution // 8) ** 3
+                and occ_spec.contraction_type == ContractionType.AABB
+                and s_g % BRICK_RUN == 0
+                and cone_angle <= 0.0
+                # run spread bound: cells of a BRICK_RUN probe run must fit
+                # an 8-cell window (brick of the min corner)
+                and (BRICK_RUN - 1) * occ_stride * render_step_size
+                <= 7.0 * cell
             )
+            if use_bricks:
+                cx, cy, cz, _ = occupancy_cells_coords(px, py, pz, occ_spec)
+                occ_g = probe_bricks_coords(
+                    occ_bricks, cx, cy, cz, occ_spec.resolution
+                )
+            else:
+                occ_g = occupancy_lookup_coords(
+                    occ_dilated, px, py, pz, occ_spec, clamp=True
+                )
             occ = jnp.repeat(occ_g, occ_stride, axis=1)  # (R, S)
         else:
             # per-coordinate (R, S) arrays; never materialize (R, S, 3)
@@ -344,33 +506,12 @@ def march_rays(
         keys = jnp.where(gvalid.reshape(-1), src, jnp.int32(R * sg))
         (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
         sel = sorted_keys[: capacity // k]  # (CAP/k,) group ids
-        g_packed = sel < R * sg
-        g_safe = jnp.minimum(sel, R * sg - 1).astype(jnp.int32)
-        g_ray = g_safe // sg  # (CAP/k,)
-        g_idx = g_safe % sg
-        # expand analytically from the uniform schedule:
-        # t_start[ray, s] = t_min[ray] + s * step  (t_min includes jitter)
-        off = jnp.arange(k, dtype=jnp.float32)[None, :]  # (1, k)
-        s_idx = g_idx[:, None].astype(jnp.float32) * k + off  # (CAP/k, k)
-        base = t_min[g_ray][:, None]
-        ts = base + s_idx * render_step_size
-        te = ts + render_step_size
-        in_range = 0.5 * (ts + te) < t_max[g_ray][:, None]
-        pv = g_packed[:, None] & in_range
-        ray_indices = jnp.where(
-            g_packed[:, None], g_ray[:, None], R - 1
-        )  # (CAP/k, k)
-        ray_indices = jnp.broadcast_to(ray_indices, pv.shape).reshape(-1)
         # capacity truncation happens at group boundaries
         per_ray_g = gvalid.sum(axis=1)
         ray_kept = jnp.cumsum(per_ray_g) * k <= capacity
-        return PackedSamples(
-            ray_indices=ray_indices.astype(jnp.int32),
-            t_starts=jnp.where(pv, ts, 0.0).reshape(-1),
-            t_ends=jnp.where(pv, te, 0.0).reshape(-1),
-            valid=pv.reshape(-1),
-            num_valid=num_valid,
-            ray_kept=ray_kept,
+        return _expand_groups(
+            sel, num_valid, ray_kept, R, sg, k, t_min, t_max,
+            render_step_size, capacity,
         )
 
     # compact: ray-major flat order keeps packed samples sorted by ray.

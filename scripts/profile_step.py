@@ -103,7 +103,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
-            group_compact=gc,
+            group_compact=gc, occ_bricks=occ["grid"].bricks,
         )
         return s.t_starts[0]
 
@@ -117,7 +117,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
-            group_compact=gc,
+            group_compact=gc, occ_bricks=occ["grid"].bricks,
         )
         p, d, t_mid, iv = packed_positions(s, ro, rays_d)
         return p[0, 0]
@@ -198,7 +198,7 @@ def main():
             max_samples=S, capacity=CAP,
             occ_binary=occ["grid"].binary, occ_spec=model.occ_spec,
             occ_dilated=occ["grid"].binary_dilated, occ_stride=model.occ_stride,
-            group_compact=gc,
+            group_compact=gc, occ_bricks=occ["grid"].bricks,
         )
     )(rays_o)
     density_v = jnp.abs(jax.random.normal(key, (CAP,))) * 10

@@ -94,3 +94,68 @@ def test_sorted_by_ray():
     )
     ri = np.asarray(s.ray_indices)[np.asarray(s.valid)]
     assert (np.diff(ri) >= 0).all()
+
+def test_brick_pack_probe_matches_direct():
+    """probe_bricks_coords must be bit-identical to binary[flat] for any
+    run whose cells span <= 8 per axis."""
+    from instant_nsr_pl_tpu.ops.marching import pack_bricks, probe_bricks_coords
+
+    res = 32
+    key = jax.random.PRNGKey(0)
+    binary = jax.random.bernoulli(key, 0.3, (res**3,))
+    bricks = pack_bricks(binary, res)
+    ks = jax.random.split(key, 6)
+    R, G = 64, 32
+    cells = []
+    for a in range(3):
+        base = jax.random.randint(ks[a], (R, G // 4, 1), 0, res - 7, jnp.int32)
+        off = jax.random.randint(ks[3 + a], (R, G // 4, 4), 0, 8, jnp.int32)
+        cells.append(jnp.clip(base + off, 0, res - 1).reshape(R, G))
+    cx, cy, cz = cells
+    got = probe_bricks_coords(bricks, cx, cy, cz, res)
+    ref = binary[(cx + cy * res + cz * res * res).reshape(-1)].reshape(R, G)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_brick_march_matches_plain():
+    """march_rays with occ_bricks must produce EXACTLY the same packed
+    samples as without (the brick probe is a gather-batching trick, not an
+    approximation)."""
+    from instant_nsr_pl_tpu.ops.marching import pack_bricks
+
+    for seed in (0, 4):
+        spec, binary, dilated, rays_o, rays_d, t0, t1 = _scene(
+            jax.random.PRNGKey(seed)
+        )
+        bricks = pack_bricks(dilated, spec.resolution)
+        kw = dict(
+            render_step_size=0.015, max_samples=256, capacity=8192,
+            occ_spec=spec, occ_binary=binary, occ_dilated=dilated,
+            occ_stride=4, group_compact=True,
+        )
+        ref = march_rays(rays_o, rays_d, t0, t1, **kw)
+        got = march_rays(rays_o, rays_d, t0, t1, occ_bricks=bricks, **kw)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_occupancy_state_carries_bricks():
+    """Grid updates must keep the bricks field in sync with the dilated
+    binary (probing bricks == probing binary_dilated)."""
+    from instant_nsr_pl_tpu.ops.marching import (
+        OccGridSpec, occupancy_grid_init, occupancy_grid_update,
+        pack_bricks,
+    )
+
+    spec = OccGridSpec(resolution=16, radius=1.0)
+    state = occupancy_grid_init(spec)
+    state = occupancy_grid_update(
+        state, spec, jax.random.PRNGKey(0),
+        lambda w: (jnp.linalg.norm(w, axis=-1) < 0.5).astype(jnp.float32),
+        warmup=True,
+    )
+    assert bool(state.binary.any())
+    np.testing.assert_array_equal(
+        np.asarray(state.bricks),
+        np.asarray(pack_bricks(state.binary_dilated, 16)),
+    )
