@@ -111,7 +111,9 @@ class NeRFModel:
         return {"grid": occupancy_grid_init(self.occ_spec)}
 
     # -- occupancy maintenance (reference models/nerf.py:45-55) -----------
-    def update_occupancy(self, params, occ, rng, step=None, warmup=False, mesh=None):
+    def update_occupancy(
+        self, params, occ, rng, step=None, warmup=False, mesh=None, phase=None
+    ):
         if not self.grid_prune:
             return occ
 
@@ -122,7 +124,7 @@ class NeRFModel:
 
         grid = occupancy_grid_update(
             occ["grid"], self.occ_spec, rng, occ_eval_fn,
-            occ_thre=self.occ_thre, warmup=warmup, mesh=mesh,
+            occ_thre=self.occ_thre, warmup=warmup, mesh=mesh, phase=phase,
         )
         return {"grid": grid}
 
@@ -178,7 +180,9 @@ class NeRFModel:
         )
         grp = self.packed_group(capacity)
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
-        positions, dirs, t_mid, intervals = packed_positions(samples, rays_o, rays_d)
+        positions, dirs, t_mid, intervals = packed_positions(
+            samples, rays_o, rays_d, group=grp
+        )
 
         density, feature = self.geometry.apply(
             params["geometry"], positions, step=step

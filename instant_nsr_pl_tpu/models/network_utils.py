@@ -203,6 +203,16 @@ class CPEncoding:
         impl = "pallas" if self.grad_mode == "fast" else "xla"
         return self._encode(params["cp"], x, self.spec, impl=impl)
 
+    def apply_with_jac(self, params, x, step=None):
+        """(feat, d feat/d x) from one custom-VJP Pallas op per scale
+        (ops/cp_pallas.py cp_product_jac) — lets the NeuS analytic-gradient
+        mode keep the fast path (the same contract as the hash encoding's
+        hashgrid_encode_with_jac)."""
+        from instant_nsr_pl_tpu.ops.cp import cp_encode_with_jac
+
+        impl = "pallas" if self.grad_mode == "fast" else "xla"
+        return cp_encode_with_jac(params["cp"], x, self.spec, impl=impl)
+
 
 class SphericalHarmonicsEncoding:
     """Real-SH direction encoding (tcnn ``SphericalHarmonics`` role)."""

@@ -171,7 +171,9 @@ class NeuSModel:
         return jnp.minimum(1.0, jnp.asarray(step, jnp.float32) / self.cos_anneal_end)
 
     # -- occupancy maintenance (reference models/neus.py:94-111) -----------
-    def update_occupancy(self, params, occ, rng, step=None, warmup=False, mesh=None):
+    def update_occupancy(
+        self, params, occ, rng, step=None, warmup=False, mesh=None, phase=None
+    ):
         if not self.grid_prune:
             return occ
         inv_s = jnp.clip(self.variance.inv_s(params["variance"]), 1e-6, 1e6)
@@ -190,7 +192,7 @@ class NeuSModel:
         new = {
             "grid": occupancy_grid_update(
                 occ["grid"], self.occ_spec, k_fg, occ_eval_fn,
-                occ_thre=self.occ_thre, warmup=warmup, mesh=mesh,
+                occ_thre=self.occ_thre, warmup=warmup, mesh=mesh, phase=phase,
             )
         }
         if self.learned_background:
@@ -201,7 +203,7 @@ class NeuSModel:
 
             new["grid_bg"] = occupancy_grid_update(
                 occ["grid_bg"], self.occ_spec_bg, k_bg, occ_eval_fn_bg,
-                occ_thre=self.occ_thre_bg, warmup=warmup, mesh=mesh,
+                occ_thre=self.occ_thre_bg, warmup=warmup, mesh=mesh, phase=phase,
             )
         return new
 
@@ -314,7 +316,9 @@ class NeuSModel:
         )
         grp = self.packed_group(capacity)
         samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
-        positions, dirs, t_mid, dists = packed_positions(samples, rays_o, rays_d)
+        positions, dirs, t_mid, dists = packed_positions(
+            samples, rays_o, rays_d, group=grp
+        )
 
         if self.geometry.grad_type == "finite_difference":
             sdf, sdf_grad, feature, sdf_laplace = self.geometry.apply(

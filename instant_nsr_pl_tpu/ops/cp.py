@@ -167,3 +167,60 @@ def cp_encode(params, x, spec: CPSpec, impl: str = "xla"):
         outs.append(g)
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(*batch_shape, spec.n_output_dims).astype(x.dtype)
+
+
+def cp_encode_with_jac(params, x, spec: CPSpec, impl: str = "pallas"):
+    """(encoded (N, E), d encoded / d x (3, N, E)) from ONE custom-VJP op
+    per scale — the encoding half of the NeuS analytic-gradient contract
+    (see models/geometry.py: the SDF gradient is chained through a plain
+    VJP of the smooth MLP; the second-order graph never meets a custom op
+    because the Jacobian is a forward OUTPUT here).
+
+    impl 'pallas' routes through ops/cp_pallas.py ``cp_product_jac``
+    (interpret mode off-TPU); 'xla' is the plain-ops twin (arbitrary-order
+    differentiable, used for parity tests)."""
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    n = xf.shape[0]
+    if impl == "pallas":
+        from instant_nsr_pl_tpu.ops.cp_pallas import cp_product_jac
+
+        u3 = xf.astype(jnp.float32).T
+        outs, jacs = [], []
+        for s, r in enumerate(spec.resolutions):
+            prod, jacp = cp_product_jac(
+                params[f"line_{s}_0"],
+                params[f"line_{s}_1"],
+                params[f"line_{s}_2"],
+                u3,
+                r,
+            )  # (C, N), (3, C, N)
+            if spec.n_features > 0:
+                bt = params[f"basis_{s}"].T.astype(jnp.bfloat16)  # (F, C)
+                prod = jnp.dot(
+                    bt, prod.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                jacp = jnp.einsum(
+                    "fc,acn->afn",
+                    bt,
+                    jacp.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            outs.append(prod)
+            jacs.append(jacp)
+        enc = jnp.concatenate(outs, axis=0).T  # (N, E)
+        jac = jnp.concatenate(jacs, axis=1).transpose(0, 2, 1)  # (3, N, E)
+        return (
+            enc.reshape(*batch_shape, spec.n_output_dims).astype(x.dtype),
+            jac.reshape(3, *batch_shape, spec.n_output_dims).astype(x.dtype),
+        )
+    # XLA twin: value + the same closed-form Jacobian with plain ops
+    enc = cp_encode(params, x, spec, impl="xla")
+
+    def enc1(u):
+        return cp_encode(params, u[None, :], spec, impl="xla")[0]
+
+    jac = jax.vmap(jax.jacfwd(enc1))(xf)  # (N, E, 3)
+    jac = jnp.moveaxis(jac, -1, 0)  # (3, N, E)
+    return enc, jac.reshape(3, *batch_shape, spec.n_output_dims).astype(x.dtype)

@@ -283,3 +283,179 @@ def cp_product_reference(lx, ly, lz, u3, res):
         v = ((1.0 - f[:, None]) * g0 + f[:, None] * g1).T  # (C, N)
         out = v if out is None else out * v
     return out
+
+
+# ---------------------------------------------------------------------------
+# product + analytic Jacobian (the NeuS analytic-gradient hot path)
+# ---------------------------------------------------------------------------
+
+
+def _inrange_half(u_ax):
+    """d clip(u)/d u with the XLA path's 50/50 boundary-tie convention."""
+    return jnp.where(
+        (u_ax < 0.0) | (u_ax > 1.0),
+        0.0,
+        jnp.where((u_ax == 0.0) | (u_ax == 1.0), 0.5, 1.0),
+    )
+
+
+def _jac_fwd_kernel(res, c, lines_ref, u_ref, prod_ref, jac_ref, v_ref, gd_ref):
+    """prod = v0*v1*v2 and jac_a = gd_a * (res-1) * inrange_a * prod_{b!=a} v_b
+    in one pass; saves v and gd residuals for the backward."""
+    bn = u_ref.shape[1]
+    vs, gs = [], []
+    for ax in range(3):
+        u_ax, f, ohT = _axis_onehot(res, u_ref, ax, bn)
+        cat = lines_ref[ax]
+        g = jax.lax.dot_general(
+            cat, ohT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g0 = g[:c]
+        gd = g[c:] - g0
+        v = g0 + f * gd
+        v_ref[ax] = v
+        gd_ref[ax] = gd
+        vs.append(v)
+        gs.append(gd * ((res - 1) * _inrange_half(u_ax)))
+    prod_ref[...] = vs[0] * vs[1] * vs[2]
+    jac_ref[0] = gs[0] * (vs[1] * vs[2])
+    jac_ref[1] = gs[1] * (vs[0] * vs[2])
+    jac_ref[2] = gs[2] * (vs[0] * vs[1])
+
+
+def _jac_bwd_kernel(
+    res, c, u_ref, v_ref, gd_ref, dp_ref, dj_ref, dcat_ref, du_ref
+):
+    """Cotangents (d prod, d jac) -> (d cat tables, d u).
+
+    With s_a = (res-1)*inrange_a and other_a = prod_{b!=a} v_b:
+      d v_a  = dp * other_a + sum_{c!=a} dj_c * gd_c * s_c * prod_{b!=a,c} v_b
+      d gd_a (jac-only part) = dj_a * s_a * other_a
+      d g0_a = d v_a * (1 - f_a) - d gd_a ;  d g1_a = d v_a * f_a + d gd_a
+      d u_a  = sum_C (d v_a * gd_a) * s_a      (i0/inrange are p.c. => 0 a.e.)
+    """
+    i = pl.program_id(0)
+    bn = u_ref.shape[1]
+    dp = dp_ref[...]
+    v = [v_ref[0], v_ref[1], v_ref[2]]
+    gd = [gd_ref[0], gd_ref[1], gd_ref[2]]
+    u_axs, fs, ohTs, ss = [], [], [], []
+    for ax in range(3):
+        u_ax, f, ohT = _axis_onehot(res, u_ref, ax, bn)
+        u_axs.append(u_ax)
+        fs.append(f)
+        ohTs.append(ohT)
+        ss.append((res - 1) * _inrange_half(u_ax))
+    others = (v[1] * v[2], v[0] * v[2], v[0] * v[1])
+    gs = [dj_ref[ax] * gd[ax] * ss[ax] for ax in range(3)]  # dj_c*gd_c*s_c
+    for ax in range(3):
+        b1, b2 = [b for b in range(3) if b != ax]
+        d_v = dp * others[ax] + gs[b1] * v[b2] + gs[b2] * v[b1]
+        d_gd = dj_ref[ax] * ss[ax] * others[ax]
+        dg0 = d_v * (1.0 - fs[ax]) - d_gd
+        dg1 = d_v * fs[ax] + d_gd
+        du_ref[pl.ds(ax, 1), :] = jnp.sum(
+            d_v * gd[ax], axis=0, keepdims=True
+        ) * ss[ax]
+        dg = jnp.concatenate([dg0, dg1], axis=0)  # (2C, BN)
+        contrib = jax.lax.dot_general(
+            dg.astype(jnp.bfloat16), ohTs[ax], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dcat_ref[ax] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            dcat_ref[ax] = dcat_ref[ax] + contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def cp_product_jac(lx, ly, lz, u3, res):
+    """(prod (C, N), jac (3, C, N)) with jac = d prod / d u3, as ONE
+    custom-VJP Pallas op — the encoding half of the NeuS analytic-gradient
+    contract (reference models/geometry.py:176-180 builds a second-order
+    graph; here the Jacobian is a forward OUTPUT, so the loss backward
+    only needs this op's (hand-written) VJP, never forward-over-reverse)."""
+    prod, jac, _, _ = _cp_product_jac_fwd_impl(lx, ly, lz, u3, res)
+    return prod, jac
+
+
+def _cp_product_jac_fwd_impl(lx, ly, lz, u3, res):
+    c = lx.shape[1]
+    bn = _block_n(res)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    cat = _lines_cat(lx, ly, lz)
+    prod, jac, vsave, gdiff = pl.pallas_call(
+        functools.partial(_jac_fwd_kernel, res, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, 2 * c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, npad), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(cat, u3p)
+    return prod[:, :n], jac[:, :, :n], vsave, gdiff
+
+
+def _cp_product_jac_fwd(lx, ly, lz, u3, res):
+    prod, jac, vsave, gdiff = _cp_product_jac_fwd_impl(lx, ly, lz, u3, res)
+    return (prod, jac), (u3, vsave, gdiff, lx.shape[1])
+
+
+def _cp_product_jac_bwd(res, saved, cts):
+    dprod, djac = cts
+    u3, vsave, gdiff, c = saved
+    bn = _block_n(res)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    dp = jnp.pad(dprod, ((0, 0), (0, npad - n)))
+    dj = jnp.pad(djac, ((0, 0), (0, 0), (0, npad - n)))
+    dcat, du = pl.pallas_call(
+        functools.partial(_jac_bwd_kernel, res, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((c, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, 2 * c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 2 * c, res), jnp.float32),
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(u3p, vsave, gdiff, dp, dj)
+
+    def unshift(dc):
+        top, bot = dc[:c], dc[c:]
+        bot = jnp.concatenate([jnp.zeros_like(bot[:, :1]), bot[:, :-1]], 1)
+        return (top + bot).T
+
+    return (unshift(dcat[0]), unshift(dcat[1]), unshift(dcat[2]), du[:, :n])
+
+
+cp_product_jac.defvjp(_cp_product_jac_fwd, _cp_product_jac_bwd)

@@ -184,14 +184,22 @@ def occupancy_grid_update(
     warmup: bool = False,
     mesh=None,
     sample_divisor: int = 8,
+    phase=None,
 ):
     """One nerfacc-style grid update. ``warmup`` (static) evaluates every cell
-    (nerfacc: first 256 steps); otherwise samples ``num_cells //
-    sample_divisor`` uniform cells plus as many occupied cells (nerfacc uses
-    divisor 4; the default here is 8 — field evaluation is gather-bound on
-    TPU at ~0.8 us/cell, so the non-warmup update at divisor 4 costs ~830 ms
-    per 16 steps on a 256^3-scale grid; every cell still refreshes every
-    ~8 updates).
+    (nerfacc: first 256 steps); otherwise refreshes ``num_cells //
+    sample_divisor`` cells per update.
+
+    Cell selection: with ``phase`` (a traced int scalar, normally the update
+    ordinal mod ``sample_divisor``) the refreshed cells are the CONTIGUOUS
+    slab ``[phase * m, (phase + 1) * m)`` — a rotating schedule that touches
+    every cell exactly once per ``sample_divisor`` updates and turns the
+    EMA read/write into two dynamic slices. With ``phase=None`` the legacy
+    nerfacc-style sampling runs instead (uniform random + occupied via
+    inverse CDF); it is semantically closer to the reference but costs
+    ~45 ms more per update on v5e (524k-row gather + scatter at ~10 ns/row
+    + a searchsorted that is itself a log-n gather chain), refreshes cells
+    only in expectation, and evaluates 2x the cells for the same cadence.
 
     ``occ_eval_fn`` maps world positions (M, 3) -> occupancy values (M,)
     (density * step for NeRF, the NeuS alpha estimator for NeuS).
@@ -206,8 +214,14 @@ def occupancy_grid_update(
     n = spec.num_cells
     k_idx, k_occ, k_jit = jax.random.split(rng, 3)
 
+    slab = not warmup and phase is not None
     if warmup:
         indices = jnp.arange(n, dtype=jnp.int32)
+    elif slab:
+        m = n // sample_divisor
+        phase = jnp.asarray(phase, jnp.int32) % sample_divisor
+        start = phase * m
+        indices = jnp.arange(m, dtype=jnp.int32) + start
     else:
         m = n // sample_divisor
         uniform = jax.random.randint(k_idx, (m,), 0, n, dtype=jnp.int32)
@@ -244,8 +258,16 @@ def occupancy_grid_update(
     else:
         occ = jnp.asarray(occ_eval_fn(world)).reshape(-1)
     occ = jax.lax.stop_gradient(occ)
-    new_vals = jnp.maximum(state.occs[indices] * ema_decay, occ)
-    occs = state.occs.at[indices].set(new_vals)
+    if warmup:
+        occs = jnp.maximum(state.occs * ema_decay, occ)
+    elif slab:
+        cur = jax.lax.dynamic_slice(state.occs, (start,), (m,))
+        occs = jax.lax.dynamic_update_slice(
+            state.occs, jnp.maximum(cur * ema_decay, occ), (start,)
+        )
+    else:
+        new_vals = jnp.maximum(state.occs[indices] * ema_decay, occ)
+        occs = state.occs.at[indices].set(new_vals)
     thre = jnp.minimum(occs.mean(), occ_thre)
     binary = occs > thre
     dilated = _dilate_binary(binary, res)
@@ -543,11 +565,27 @@ def march_rays(
     )
 
 
-def packed_positions(samples: PackedSamples, rays_o, rays_d):
-    """World positions / directions / midpoints / intervals of packed samples."""
+def packed_positions(samples: PackedSamples, rays_o, rays_d, group: int = 1):
+    """World positions / directions / midpoints / intervals of packed samples.
+
+    ``group=k > 1`` asserts the group-compacted march's layout guarantee
+    (every aligned k-block of the buffer belongs to one ray) and gathers
+    the per-ray origin/direction once per BLOCK instead of once per sample
+    — the gather is ~6-8 ns per row however narrow (PERF.md), so this cuts
+    its cost k-fold (~5 ms -> ~0.6 ms at the reference workload)."""
     t_mid = 0.5 * (samples.t_starts + samples.t_ends)
-    o = rays_o[samples.ray_indices]
-    d = rays_d[samples.ray_indices]
+    if group > 1:
+        cap = samples.ray_indices.shape[0]
+        assert cap % group == 0, (cap, group)
+        g = cap // group
+        gray = samples.ray_indices.reshape(g, group)[:, 0]
+        og = rays_o[gray]  # (g, 3)
+        dg = rays_d[gray]
+        o = jnp.broadcast_to(og[:, None, :], (g, group, 3)).reshape(cap, 3)
+        d = jnp.broadcast_to(dg[:, None, :], (g, group, 3)).reshape(cap, 3)
+    else:
+        o = rays_o[samples.ray_indices]
+        d = rays_d[samples.ray_indices]
     positions = o + d * t_mid[:, None]
     intervals = samples.t_ends - samples.t_starts
     return positions, d, t_mid, intervals

@@ -154,9 +154,12 @@ class DataParallelPlan:
 
         def update_fn(state):
             rng, k = jax.random.split(state["rng"])
+            phase = None
+            if not warmup and system.grid_update_sampling == "slab":
+                phase = (state["step"] // system.grid_update_every) % 8
             occ = system.model.update_occupancy(
                 state["params"], state["occ"], k, step=state["step"],
-                warmup=warmup, mesh=mesh,
+                warmup=warmup, mesh=mesh, phase=phase,
             )
             return {**state, "occ": occ, "rng": rng}
 

@@ -88,6 +88,11 @@ class BaseSystem:
         self.randomized = bool(m.get("randomized", True))
         self.grid_warmup_steps = int(m.get("grid_warmup_steps", 256))
         self.grid_update_every = int(m.get("grid_update_every", 16))
+        # 'slab': rotating contiguous-slab refresh (deterministic full
+        # coverage every 8 updates, slice-only EMA — ~45 ms/update cheaper
+        # on TPU than the scatter/searchsorted sampling); 'random': the
+        # nerfacc-style uniform + occupied sampling (ops/marching.py)
+        self.grid_update_sampling = str(m.get("grid_update_sampling", "slab"))
 
         # dynamic ray batching (reference systems/nerf.py:93-95): grow the
         # ray count so live samples fill the static packed capacity. Static
@@ -270,8 +275,14 @@ class BaseSystem:
     def make_occ_update(self, warmup: bool):
         def update_fn(state):
             rng, k = jax.random.split(state["rng"])
+            phase = None
+            if not warmup and self.grid_update_sampling == "slab":
+                # update ordinal mod the refresh divisor (ops/marching.py
+                # occupancy_grid_update sample_divisor default)
+                phase = (state["step"] // self.grid_update_every) % 8
             occ = self.model.update_occupancy(
-                state["params"], state["occ"], k, step=state["step"], warmup=warmup
+                state["params"], state["occ"], k, step=state["step"],
+                warmup=warmup, phase=phase,
             )
             return {**state, "occ": occ, "rng": rng}
 

@@ -90,3 +90,75 @@ def test_padding_of_non_block_multiple_n():
     got = cp_product(lx, ly, lz, u3, R)
     assert got.shape == (C, N)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_jac_forward_matches_autodiff(lines):
+    """cp_product_jac's Jacobian output must equal jacfwd of the XLA twin."""
+    from instant_nsr_pl_tpu.ops.cp_pallas import cp_product_jac
+
+    R, lx, ly, lz, u3, _ = lines
+    prod, jac = cp_product_jac(lx, ly, lz, u3, R)
+    ref = cp_product_reference(lx, ly, lz, u3, R)
+    np.testing.assert_allclose(np.asarray(prod), np.asarray(ref), atol=1e-6)
+
+    def f(u):
+        return cp_product_reference(lx, ly, lz, u, R)
+
+    # jacfwd wrt the (3, N) coords; extract the diagonal over N
+    jr = jax.jacfwd(f)(u3)  # (C, N, 3, N)
+    C, N = ref.shape
+    diag = jnp.einsum("cnan->acn", jr)  # (3, C, N)
+    scale = float(jnp.abs(diag).max())
+    np.testing.assert_allclose(
+        np.asarray(jac), np.asarray(diag), atol=3e-3 * max(scale, 1.0)
+    )
+
+
+def test_jac_gradients_match_autodiff(lines):
+    """VJP through (prod, jac) must match autodiff of the XLA twin's
+    (value, jacobian) pair — the second-order contract NeuS relies on."""
+    from instant_nsr_pl_tpu.ops.cp_pallas import cp_product_jac
+
+    R, lx, ly, lz, u3, ct = lines
+    ctj = jax.random.normal(jax.random.PRNGKey(9), (3, *ct.shape))
+
+    def loss_fast(a, b, c, u):
+        prod, jac = cp_product_jac(a, b, c, u, R)
+        return (prod * ct).sum() + (jac * ctj).sum()
+
+    def loss_ref(a, b, c, u):
+        prod = cp_product_reference(a, b, c, u, R)
+
+        def f(uu):
+            return cp_product_reference(a, b, c, uu, R)
+
+        jr = jax.jacfwd(f)(u)
+        jac = jnp.einsum("cnan->acn", jr)
+        return (prod * ct).sum() + (jac * ctj).sum()
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2, 3))(lx, ly, lz, u3)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(lx, ly, lz, u3)
+    for a, b in zip(g_ref[:3], g_fast[:3]):
+        scale = max(float(jnp.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=8e-3 * scale)
+    scale = max(float(jnp.abs(g_ref[3]).max()), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_fast[3]), np.asarray(g_ref[3]), atol=5e-3 * scale
+    )
+
+
+def test_cp_encode_with_jac_impls_agree():
+    from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_encode_with_jac, cp_init
+
+    spec = CPSpec(n_components=16, resolutions=(16, 64), n_features=8)
+    params = cp_init(jax.random.PRNGKey(1), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (129, 3))
+    e1, j1 = cp_encode_with_jac(params, x, spec, impl="pallas")
+    e2, j2 = cp_encode_with_jac(params, x, spec, impl="xla")
+    assert e1.shape == (129, spec.n_output_dims)
+    assert j1.shape == (3, 129, spec.n_output_dims)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-5)
+    scale = max(float(jnp.abs(j2).max()), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(j1), np.asarray(j2), atol=5e-3 * scale
+    )

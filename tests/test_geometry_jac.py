@@ -117,3 +117,56 @@ def test_progressive_grid_jac_mode():
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert np.isfinite(np.asarray(flat)).all()
     assert float(jnp.abs(flat).sum()) > 0
+
+
+def _cp_cfg(analytic_jac):
+    cfg = _geometry_cfg(analytic_jac)
+    cfg["xyz_encoding_config"] = {
+        "otype": "CP",
+        "n_components": 16,
+        "resolutions": [16, 48],
+        "n_features": 8,
+        "include_xyz": True,
+        # force the Pallas (interpret-mode on CPU) kernels so the test
+        # exercises the real TPU jac path, not the XLA twin
+        "grad_mode": "fast",
+    }
+    return cfg
+
+
+def test_cp_jac_mode_matches_autodiff():
+    """CP encoding analytic_jac (cp_product_jac custom VJP) must match the
+    plain analytic JVP construction: forward + second-order training grads."""
+    geo_a = models.make("volume-sdf", _cp_cfg(False))
+    geo_j = models.make("volume-sdf", _cp_cfg(True))
+    assert not geo_a.use_jac and geo_j.use_jac
+    assert geo_a.encoding.encoding.grad_mode == "autodiff"  # forced fallback
+    assert geo_j.encoding.encoding.grad_mode == "fast"
+    params = geo_j.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (96, 3), minval=-0.9, maxval=0.9
+    )
+
+    sdf_a, grad_a, feat_a = geo_a.apply(params, pts)
+    sdf_j, grad_j, feat_j = geo_j.apply(params, pts)
+    np.testing.assert_allclose(
+        np.asarray(sdf_j), np.asarray(sdf_a), rtol=1e-4, atol=1e-5
+    )
+    scale = max(np.abs(np.asarray(grad_a)).max(), 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(grad_j), np.asarray(grad_a), rtol=5e-3, atol=2e-3 * scale
+    )
+
+    def loss(geo, p):
+        sdf, grad, feat = geo.apply(p, pts)
+        eik = ((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2).mean()
+        return eik + (feat**2).mean() + (sdf**2).mean()
+
+    ga = jax.grad(lambda p: loss(geo_a, p))(params)
+    gj = jax.grad(lambda p: loss(geo_j, p))(params)
+    flat_a, _ = jax.flatten_util.ravel_pytree(ga)
+    flat_j, _ = jax.flatten_util.ravel_pytree(gj)
+    scale = float(jnp.abs(flat_a).max())
+    np.testing.assert_allclose(
+        np.asarray(flat_j), np.asarray(flat_a), rtol=1e-2, atol=2e-3 * scale
+    )

@@ -159,3 +159,29 @@ def test_occupancy_state_carries_bricks():
         np.asarray(state.bricks),
         np.asarray(pack_bricks(state.binary_dilated, 16)),
     )
+
+
+def test_slab_update_full_coverage():
+    """8 slab-phase updates must refresh every cell (EMA == fresh eval when
+    starting from zero), matching what a full warmup pass would produce."""
+    from instant_nsr_pl_tpu.ops.marching import (
+        OccGridSpec, occupancy_grid_init, occupancy_grid_update,
+    )
+
+    spec = OccGridSpec(resolution=16, radius=1.0)
+    fn = lambda w: (jnp.linalg.norm(w, axis=-1) < 0.6).astype(jnp.float32)
+    state = occupancy_grid_init(spec)
+    for phase in range(8):
+        state = occupancy_grid_update(
+            state, spec, jax.random.PRNGKey(phase), fn, phase=phase
+        )
+    ref = occupancy_grid_update(
+        occupancy_grid_init(spec), spec, jax.random.PRNGKey(99), fn, warmup=True
+    )
+    # same cells live (jitter differs per call, but the field is radial and
+    # cell-resolution coarse, so the binarization agrees except at the
+    # boundary shell — require > 95% agreement and a nonempty interior)
+    a = np.asarray(state.binary)
+    b = np.asarray(ref.binary)
+    assert a.any() and b.any()
+    assert (a == b).mean() > 0.95
