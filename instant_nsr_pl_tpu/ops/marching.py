@@ -103,6 +103,75 @@ def _dilate_binary(binary, resolution):
     return d.reshape(-1)
 
 
+# -- packed-bit grid post-processing ----------------------------------------
+# The per-update dilate (reduce_window, ~3 ms) and brick assembly (bool-cube
+# reshuffle, ~8 ms) both shrink ~10x when run on a bit-PACKED field: x-axis
+# dilation is three shifts with cross-word carries, y/z are ORs of neighbor
+# rows, and brick words are halfword extracts + reshapes. Bit-exact twins of
+# (_dilate_binary, pack_bricks); used when resolution % 32 == 0.
+
+
+def _pack_words(binary, res):
+    """(res^3,) bool x-fastest -> (res, res, res//32) uint32."""
+    b = binary.reshape(res, res, res // 32, 32).astype(jnp.uint32)
+    return (b << jnp.arange(32, dtype=jnp.uint32)).sum(-1, dtype=jnp.uint32)
+
+
+def _unpack_words(W, res):
+    bits = (W[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.astype(bool).reshape(-1)
+
+
+def _dilate_words(W):
+    left = jnp.concatenate([W[..., 1:], jnp.zeros_like(W[..., :1])], -1)
+    right = jnp.concatenate([jnp.zeros_like(W[..., :1]), W[..., :-1]], -1)
+    x = W | (W << 1) | (W >> 1) | (left << 31) | (right >> 31)
+    yp = jnp.zeros_like(x[:, :1])
+    y = x | jnp.concatenate([x[:, 1:], yp], 1) | jnp.concatenate([yp, x[:, :-1]], 1)
+    zp = jnp.zeros_like(y[:1])
+    return y | jnp.concatenate([y[1:], zp], 0) | jnp.concatenate([zp, y[:-1]], 0)
+
+
+def _bricks_from_words(W, res):
+    """Dilated word field -> ``pack_bricks`` layout, via halfword planes."""
+    nb = res // 8
+    Wp = jnp.concatenate([W, jnp.zeros_like(W[..., :1])], -1)
+    planes = []
+    for bx in range(nb):
+        xs = 8 * bx
+        wx, sh = xs >> 5, xs & 31
+        val = Wp[..., wx] >> sh
+        if sh:
+            val = val | (Wp[..., wx + 1] << (32 - sh))
+        planes.append(val & jnp.uint32(0xFFFF))
+    H = jnp.stack(planes)  # (bx, z, y): 16 bits from x = 8*bx
+    Hp = jnp.pad(H, ((0, 0), (0, 8), (0, 8)))
+    X = Hp.reshape(nb, nb + 1, 8, nb + 1, 8)  # [bx, zb, lz8, yb, ly8]
+    parts = [X[:, dz:nb + dz, :, dy:nb + dy, :] for dz in (0, 1) for dy in (0, 1)]
+    S = jnp.stack(parts).reshape(2, 2, nb, nb, 8, nb, 8)
+    A = S.transpose(3, 5, 2, 0, 4, 1, 6).reshape(nb, nb, nb, 16, 16)
+    W16 = A.reshape(nb, nb, nb, 16, 8, 2)
+    words = W16[..., 0] | (W16[..., 1] << 16)  # [lz, lyh]
+    return words.reshape(nb**3, 128)
+
+
+def _postprocess_binary(binary, spec: OccGridSpec):
+    """binary -> (binary_dilated bool, bricks) via the packed-bit pipeline
+    when the resolution allows, else the plain twins."""
+    res = spec.resolution
+    if res % 32 == 0:
+        Wd = _dilate_words(_pack_words(binary, res))
+        dilated = _unpack_words(Wd, res)
+        bricks = (
+            _bricks_from_words(Wd, res)
+            if _wants_bricks(spec)
+            else jnp.zeros((1, 128), jnp.uint32)
+        )
+        return dilated, bricks
+    dilated = _dilate_binary(binary, res)
+    return dilated, _bricks_of(dilated, spec)
+
+
 BRICK_RUN = 4  # consecutive probes sharing one brick-row gather
 
 
@@ -270,12 +339,12 @@ def occupancy_grid_update(
         occs = state.occs.at[indices].set(new_vals)
     thre = jnp.minimum(occs.mean(), occ_thre)
     binary = occs > thre
-    dilated = _dilate_binary(binary, res)
+    dilated, bricks = _postprocess_binary(binary, spec)
     return OccupancyGridState(
         occs=occs,
         binary=binary,
         binary_dilated=dilated,
-        bricks=_bricks_of(dilated, spec),
+        bricks=bricks,
     )
 
 

@@ -185,3 +185,34 @@ def test_slab_update_full_coverage():
     b = np.asarray(ref.binary)
     assert a.any() and b.any()
     assert (a == b).mean() > 0.95
+
+
+def test_word_pipeline_matches_plain_twins():
+    """Packed-bit dilate + brick assembly must be bit-exact vs the plain
+    reduce_window / bool-cube implementations."""
+    from instant_nsr_pl_tpu.ops.marching import (
+        OccGridSpec, _bricks_from_words, _dilate_binary, _dilate_words,
+        _pack_words, _postprocess_binary, _unpack_words, pack_bricks,
+    )
+
+    for res, p in ((32, 0.3), (64, 0.08)):
+        binary = jax.random.bernoulli(jax.random.PRNGKey(res), p, (res**3,))
+        W = _pack_words(binary, res)
+        np.testing.assert_array_equal(
+            np.asarray(_unpack_words(W, res)), np.asarray(binary)
+        )
+        d_ref = _dilate_binary(binary, res)
+        Wd = _dilate_words(W)
+        np.testing.assert_array_equal(
+            np.asarray(_unpack_words(Wd, res)), np.asarray(d_ref)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_bricks_from_words(Wd, res)),
+            np.asarray(pack_bricks(d_ref, res)),
+        )
+        spec = OccGridSpec(resolution=res, radius=1.0)
+        dil2, br2 = _postprocess_binary(binary, spec)
+        np.testing.assert_array_equal(np.asarray(dil2), np.asarray(d_ref))
+        np.testing.assert_array_equal(
+            np.asarray(br2), np.asarray(pack_bricks(d_ref, res))
+        )
