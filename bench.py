@@ -304,8 +304,7 @@ def main():
 
         # short training warmup so the occupancy grid converges and eval
         # measures a realistic packing (not an all-empty scene)
-        for _ in range(64):
-            state, metrics = system.train_step(state)
+        state, metrics = system.train_chunk(state, 64)
         float(metrics["train/loss"])
         dm = system.bench_dm
         val = data_arrays(dm.val)
@@ -334,18 +333,17 @@ def main():
         )
         return
 
-    # warm up: compile both occ-update variants + the train step, let the
-    # occupancy grid converge so steady-state packing is measured, and let
-    # dynamic ray batching settle on its bucket (training spends 98%+ of its
-    # steps there)
-    for i in range(160):
-        state, metrics = system.train_step(state)
+    # warm up: compile both occ-update variants + the scan-megastep chunk
+    # (train_chunk: one dispatch per grid-update interval — the production
+    # loop in trainer.py), let the occupancy grid converge so steady-state
+    # packing is measured, and let dynamic ray batching settle on its bucket
+    # (training spends 98%+ of its steps there)
+    state, metrics = system.train_chunk(state, 160)
     float(metrics["train/loss"])  # fetch = the only true sync on this runtime
 
     n_steps = 96
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = system.train_step(state)
+    state, metrics = system.train_chunk(state, n_steps)
     float(metrics["train/loss"])
     dt = time.perf_counter() - t0
 

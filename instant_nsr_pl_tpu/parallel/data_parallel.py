@@ -55,6 +55,23 @@ class DataParallelPlan:
 
     # -- train -------------------------------------------------------------
     def make_train_step(self, n_rays=None):
+        return jax.jit(self._train_step_body(n_rays), donate_argnums=(0,))
+
+    def make_train_chunk(self, n_chunk, n_rays=None):
+        """``n_chunk`` sharded steps in one dispatch (lax.scan over the
+        sharded step body) — the DP twin of ``BaseSystem.make_train_chunk``;
+        metrics stacked along a leading (n_chunk,) axis."""
+        body = self._train_step_body(n_rays)
+
+        def chunk_fn(state, data):
+            def scan_body(st, _):
+                return body(st, data)
+
+            return jax.lax.scan(scan_body, state, None, length=n_chunk)
+
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    def _train_step_body(self, n_rays=None):
         system = self.system
         mesh = self.mesh
         n_dev = self.n_dev
@@ -142,7 +159,7 @@ class DataParallelPlan:
                 "rng": rng,
             }, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return step_fn
 
     # -- collective occupancy update ----------------------------------------
     def make_occ_update(self, warmup: bool):

@@ -222,7 +222,32 @@ class BaseSystem:
         grads -> optax update. One XLA computation per step (per ray
         bucket)."""
         n_rays = n_rays or self.train_num_rays
+        return jax.jit(self._train_step_body(n_rays), donate_argnums=(0,))
 
+    def make_train_chunk(self, n_chunk, n_rays=None):
+        """``n_chunk`` train steps in ONE jitted computation (lax.scan over
+        the step body): a single dispatch instead of ``n_chunk`` — the
+        per-call host/dispatch overhead is ~ms over the tunneled TPU
+        runtime, a measurable slice of a ~20 ms step. Returns metrics
+        STACKED along a leading (n_chunk,) axis (all scalars — negligible
+        transfer). Grid maintenance stays host-scheduled between chunks
+        (``train_chunk``). NOTE: the scan body is a separate XLA compilation
+        from the plain step, so trajectories match per-step training to fp
+        precision, not bitwise (Adam amplifies ulp-level grad differences on
+        rarely-touched table entries to ~lr; tests/test_train_chunk.py
+        asserts loss-trajectory parity instead)."""
+        n_rays = n_rays or self.train_num_rays
+        body = self._train_step_body(n_rays)
+
+        def chunk_fn(state, data):
+            def scan_body(st, _):
+                return body(st, data)
+
+            return jax.lax.scan(scan_body, state, None, length=n_chunk)
+
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    def _train_step_body(self, n_rays):
         def step_fn(state, data):
             rng, k_sample, k_bg, k_fwd = jax.random.split(state["rng"], 4)
             step = state["step"]
@@ -270,7 +295,7 @@ class BaseSystem:
             }
             return new_state, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return step_fn
 
     def make_occ_update(self, warmup: bool):
         def update_fn(state):
@@ -340,6 +365,40 @@ class BaseSystem:
         out = self._jitted[key](state, self.data)
         self._host_step = step + 1
         return out
+
+    def train_chunk(self, state, n: int):
+        """Up to ``n`` host-level steps with ONE dispatch per grid-update
+        interval (scan megasteps; see ``make_train_chunk``). Returns
+        (state, last-step metrics). Under a data-parallel plan the sharded
+        chunk (plan.make_train_chunk) is used — same cadence logic."""
+        plan = getattr(self, "_plan", None)
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state["step"])
+        done = 0
+        metrics = None
+        while done < n:
+            step = self._host_step
+            if step % self.grid_update_every == 0:
+                key = "occ_warmup" if step < self.grid_warmup_steps else "occ"
+                if key not in self._jitted:
+                    maker = plan.make_occ_update if plan else self.make_occ_update
+                    self._jitted[key] = maker(
+                        warmup=step < self.grid_warmup_steps
+                    )
+                state = self._jitted[key](state)
+            until = self.grid_update_every - (step % self.grid_update_every)
+            k = min(n - done, until)
+            key = ("chunk", self.active_num_rays, k)
+            if key not in self._jitted:
+                maker = plan.make_train_chunk if plan else self.make_train_chunk
+                self._jitted[key] = maker(
+                    k, n_rays=self.active_num_rays
+                )
+            state, stacked = self._jitted[key](state, self.data)
+            metrics = jax.tree_util.tree_map(lambda a: a[-1], stacked)
+            self._host_step = step + k
+            done += k
+        return state, metrics
 
     def adapt_num_rays(self, live_samples: float):
         """Bucketed dynamic ray batching (the reference's EMA

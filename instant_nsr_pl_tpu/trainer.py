@@ -94,18 +94,43 @@ class Trainer:
         t0 = time.time()
         rays_done = 0
         # host-side step counter: fetching state["step"] per step would sync
-        # the device every iteration (costly over the TPU tunnel)
-        for step in range(start_step + 1, self.max_steps + 1):
-            if prof_range and step - 1 == prof_range[0]:
-                import jax
+        # the device every iteration (costly over the TPU tunnel). Steps run
+        # as scan megasteps (system.train_chunk) between host boundaries
+        # (log / val / ckpt cadences) — one dispatch per grid-update interval
+        # instead of per step. Profiling keeps the per-step loop so the trace
+        # brackets exact step numbers.
+        intervals = [
+            iv
+            for iv in (
+                self.log_every_n_steps,
+                self.val_check_interval,
+                self.ckpt_every,
+            )
+            if iv
+        ]
+        step = start_step
+        while step < self.max_steps:
+            nxt = min(
+                [((step // iv) + 1) * iv for iv in intervals]
+                + [self.max_steps]
+            )
+            if prof_range and step < prof_range[1] and nxt > prof_range[0]:
+                for s in range(step + 1, nxt + 1):
+                    if s - 1 == prof_range[0]:
+                        import jax
 
-                jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
-            state, metrics = system.train_step(state)
-            if prof_range and step == prof_range[1]:
-                import jax
+                        jax.profiler.start_trace(
+                            os.path.join(self.exp_dir, "profile")
+                        )
+                    state, metrics = system.train_step(state)
+                    if s == prof_range[1]:
+                        import jax
 
-                jax.profiler.stop_trace()
-            rays_done += system.active_num_rays
+                        jax.profiler.stop_trace()
+            else:
+                state, metrics = system.train_chunk(state, nxt - step)
+            rays_done += system.active_num_rays * (nxt - step)
+            step = nxt
             if step % self.log_every_n_steps == 0 or step == self.max_steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0

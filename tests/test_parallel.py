@@ -231,3 +231,41 @@ def test_dp_ray_count_divisibility_guard():
     system.setup_data(dm.train)
     with pytest.raises(AssertionError):
         system.configure_parallel(make_mesh(8))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_train_chunk_matches_per_step_loop():
+    """The sharded scan megastep (plan.make_train_chunk via
+    BaseSystem.train_chunk) must track the per-step DP loop: same cadence,
+    same loss trajectory (fp-level — see tests/test_train_chunk.py for why
+    bitwise parameter equality is not the invariant under Adam)."""
+    n_steps = 12
+
+    def fresh():
+        cfg = _cfg()
+        cfg.model.grid_warmup_steps = 8
+        cfg.model.grid_update_every = 4
+        dm = datasets.make(cfg.dataset.name, cfg.dataset)
+        dm.setup("fit")
+        system = systems.make(cfg.system.name, cfg)
+        system.setup_data(dm.train)
+        system.configure_parallel(make_mesh(8))
+        return system
+
+    sys_a = fresh()
+    state_a = sys_a.init_state(seed=0)
+    losses_a = []
+    for _ in range(n_steps):
+        state_a, metrics_a = sys_a.train_step(state_a)
+        losses_a.append(float(metrics_a["train/loss"]))
+
+    sys_b = fresh()
+    state_b = sys_b.init_state(seed=0)
+    state_b, _ = sys_b.train_chunk(state_b, 3)
+    state_b, metrics_b = sys_b.train_chunk(state_b, n_steps - 3)
+
+    assert int(state_a["step"]) == int(state_b["step"]) == n_steps
+    np.testing.assert_allclose(
+        losses_a[-1], float(metrics_b["train/loss"]), rtol=2e-2, atol=1e-5
+    )
+    assert np.isfinite(float(metrics_b["train/loss"]))
