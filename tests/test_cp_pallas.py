@@ -1,7 +1,9 @@
-"""Pallas CP kernel (ops/cp_pallas.py) vs the XLA formulation: forward
-exact, gradients to bf16-contribution tolerance (both paths round one-hot
-matmul operands to bf16; accumulators are f32). Runs the real kernel logic
-through the Pallas interpreter on the CPU test mesh."""
+"""Pallas CP kernel (ops/cp_pallas.py) vs the XLA formulation: forward and
+gradients to bf16-operand tolerance — the kernel's tent operand bakes the
+interpolation weights into bf16 (the XLA twin applies them in f32 after
+the matmul), so everything carries ~2^-9 relative weight error on top of
+the bf16 table rounding both paths share (accumulators are f32). Runs the
+real kernel logic through the Pallas interpreter on the CPU test mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +33,10 @@ def test_forward_matches_xla(lines):
     R, lx, ly, lz, u3, _ = lines
     ref = cp_product_reference(lx, ly, lz, u3, R)
     got = cp_product(lx, ly, lz, u3, R)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref),
+        atol=6e-3 * float(jnp.abs(ref).max()),
+    )
 
 
 def test_gradients_match_xla(lines):
@@ -47,11 +52,11 @@ def test_gradients_match_xla(lines):
     # table grads: both paths round per-sample contributions to bf16
     for a, b in zip(g_ref[:3], g_got[:3]):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=5e-3 * float(jnp.abs(a).max())
+            np.asarray(b), np.asarray(a), atol=8e-3 * float(jnp.abs(a).max())
         )
-    # coordinate grads are f32 throughout
     np.testing.assert_allclose(
-        np.asarray(g_got[3]), np.asarray(g_ref[3]), rtol=1e-4, atol=1e-5
+        np.asarray(g_got[3]), np.asarray(g_ref[3]),
+        atol=8e-3 * float(jnp.abs(g_ref[3]).max()),
     )
 
 
@@ -68,7 +73,10 @@ def test_cp_encode_pallas_matches_xla_full():
     x = jax.random.uniform(jax.random.PRNGKey(2), (257, 3))
     ref = cp_encode(params, x, spec, impl="xla")
     got = cp_encode(params, x, spec, impl="pallas")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref),
+        atol=6e-3 * float(np.abs(np.asarray(ref)).max()),
+    )
 
     def loss(p, impl):
         return (cp_encode(p, x, spec, impl=impl) ** 2).sum()
@@ -77,7 +85,7 @@ def test_cp_encode_pallas_matches_xla_full():
     g_got = jax.grad(lambda p: loss(p, "pallas"))(params)
     for k in g_ref:
         a, b = np.asarray(g_ref[k]), np.asarray(g_got[k])
-        np.testing.assert_allclose(b, a, atol=5e-3 * max(np.abs(a).max(), 1e-3))
+        np.testing.assert_allclose(b, a, atol=8e-3 * max(np.abs(a).max(), 1e-3))
 
 
 def test_padding_of_non_block_multiple_n():
@@ -89,7 +97,10 @@ def test_padding_of_non_block_multiple_n():
     ref = cp_product_reference(lx, ly, lz, u3, R)
     got = cp_product(lx, ly, lz, u3, R)
     assert got.shape == (C, N)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref),
+        atol=6e-3 * float(jnp.abs(ref).max()),
+    )
 
 
 def test_jac_forward_matches_autodiff(lines):
@@ -99,7 +110,10 @@ def test_jac_forward_matches_autodiff(lines):
     R, lx, ly, lz, u3, _ = lines
     prod, jac = cp_product_jac(lx, ly, lz, u3, R)
     ref = cp_product_reference(lx, ly, lz, u3, R)
-    np.testing.assert_allclose(np.asarray(prod), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(prod), np.asarray(ref),
+        atol=6e-3 * float(jnp.abs(ref).max()),
+    )
 
     def f(u):
         return cp_product_reference(lx, ly, lz, u, R)
@@ -110,7 +124,7 @@ def test_jac_forward_matches_autodiff(lines):
     diag = jnp.einsum("cnan->acn", jr)  # (3, C, N)
     scale = float(jnp.abs(diag).max())
     np.testing.assert_allclose(
-        np.asarray(jac), np.asarray(diag), atol=3e-3 * max(scale, 1.0)
+        np.asarray(jac), np.asarray(diag), atol=6e-3 * max(scale, 1.0)
     )
 
 
@@ -140,10 +154,10 @@ def test_jac_gradients_match_autodiff(lines):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(lx, ly, lz, u3)
     for a, b in zip(g_ref[:3], g_fast[:3]):
         scale = max(float(jnp.abs(a).max()), 1e-3)
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=8e-3 * scale)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1.2e-2 * scale)
     scale = max(float(jnp.abs(g_ref[3]).max()), 1e-3)
     np.testing.assert_allclose(
-        np.asarray(g_fast[3]), np.asarray(g_ref[3]), atol=5e-3 * scale
+        np.asarray(g_fast[3]), np.asarray(g_ref[3]), atol=8e-3 * scale
     )
 
 
@@ -160,5 +174,5 @@ def test_cp_encode_with_jac_impls_agree():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-5)
     scale = max(float(jnp.abs(j2).max()), 1.0)
     np.testing.assert_allclose(
-        np.asarray(j1), np.asarray(j2), atol=5e-3 * scale
+        np.asarray(j1), np.asarray(j2), atol=8e-3 * scale
     )
