@@ -326,14 +326,33 @@ def get_mlp(n_input_dims, n_output_dims, config):
 
 class EncodingWithNetwork:
     """Fused encoding+MLP evaluation (tcnn ``NetworkWithInputEncoding`` role,
-    reference network_utils.py:187-215). XLA fuses the hash gather into the
-    first matmul; a hand-fused Pallas path can slot in here later."""
+    reference network_utils.py:187-215).
+
+    When the encoding is a fast-path CP encoding and the network is a
+    bf16 ReLU MLP (the reference's FullyFused density head), the whole
+    chain runs as ONE hand-written Pallas forward+backward kernel
+    (ops/cp_mlp_pallas.py) — encode products, basis projections, and MLP
+    activations never leave VMEM. Positions get a zero cotangent there
+    (the only consumer, VolumeDensity, feeds stop-gradient march
+    outputs). Everything else composes encoding.apply -> network.apply
+    and lets XLA fuse."""
 
     def __init__(self, encoding, network):
         self.encoding = encoding
         self.network = network
         self.n_input_dims = encoding.n_input_dims
         self.n_output_dims = network.n_output_dims
+        self.fused = False
+        inner = getattr(encoding, "encoding", None)
+        if (
+            isinstance(encoding, CompositeEncoding)
+            and not encoding.include_xyz
+            and isinstance(inner, CPEncoding)
+            and inner.grad_mode == "fast"
+        ):
+            from instant_nsr_pl_tpu.ops.cp_mlp_pallas import fusable
+
+            self.fused = fusable(inner.spec, network.spec)
 
     def init(self, rng):
         k_enc, k_net = jax.random.split(rng)
@@ -343,6 +362,17 @@ class EncodingWithNetwork:
         }
 
     def apply(self, params, x, step=None):
+        if self.fused:
+            from instant_nsr_pl_tpu.ops.cp_mlp_pallas import cp_mlp_apply
+
+            out = cp_mlp_apply(
+                params["encoding"]["cp"],
+                params["network"]["layers"],
+                x,
+                self.encoding.encoding.spec,
+                self.network.spec,
+            )
+            return self.network.output_activation(out)
         return self.network.apply(
             params["network"],
             self.encoding.apply(params["encoding"], x, step=step),

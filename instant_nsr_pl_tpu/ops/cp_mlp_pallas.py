@@ -1,0 +1,471 @@
+"""Fused CP-encode -> basis -> MLP Pallas kernel (hand fwd + bwd).
+
+The NeRF density evaluation (reference models/geometry.py:115-140 via the
+tcnn ``NetworkWithInputEncoding`` slot, reference network_utils.py:207-214)
+is encode -> project -> tiny MLP. Run separately (ops/cp_pallas.py +
+ops/mlp.py) the seams cost real HBM traffic and dispatch glue: the (C, N)
+products, the (N, E) encoding, and every MLP activation round-trip HBM,
+plus transposes/concats between layouts (~3.5 ms of the 22.8 ms bench
+step, PERF.md ablation). This kernel keeps the whole chain in VMEM per
+sample block:
+
+    v_ax,s = L_ax,s @ tent(u_ax)            (C, BN)   [MXU, per scale]
+    prod_s = v_x,s * v_y,s * v_z,s          (C, BN)
+    enc    = concat_s(B_s^T @ prod_s)       (E, BN)
+    h_0    = relu(W_1^T @ enc + b_1)        (W, BN)
+    ...
+    out    = W_L^T @ h_{L-1} + b_L          (D, BN)
+
+and the backward accumulates ALL parameter gradients (line tables, bases,
+MLP weights/biases) in VMEM-resident f32 blocks across the sample grid
+(the revisited-output pattern). The only fwd->bwd residuals are the bf16
+``v`` stack and the bf16 hidden activations.
+
+Position cotangents are intentionally NOT computed: density-path inputs
+are pure functions of rays and march distances, never of parameters, so
+d loss / d x is structurally unused (the renderer's only x-producers are
+stop-gradient march outputs). The wrapper stop-gradients x to make that
+contract explicit; paths that need coordinate gradients (NeuS analytic)
+use ops/cp_pallas.py ``cp_product_jac`` instead. Dropping du removes the
+diff-hot recompute matmul — a third of the encode backward's MXU work.
+
+Precision contract: bf16 operands / f32 accumulators everywhere (same as
+tcnn's fp16 tables + fp16 fused MLP, the reference's configuration at
+configs/nerf-blender.yaml:44-66); tent weights round to bf16 inside the
+operand exactly as ops/cp_pallas.py does.
+
+Reference role: the fused "density/color evaluation ... hand-written
+forward + backward" kernel of the project north star (BASELINE.md), on
+the encode family where v5e hardware allows it (dense MXU work; see
+PERF.md's Pallas-gather verdict for why not HashGrid).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from instant_nsr_pl_tpu.ops.cp import CPSpec
+from instant_nsr_pl_tpu.ops.cp_pallas import (
+    _axis_p,
+    _block_n,
+    _pad_n,
+    _supported,
+    _tent,
+)
+
+
+def fusable(cp_spec: CPSpec, mlp_spec) -> bool:
+    """Static check: can this (encoding, MLP) pair run in the fused kernel?"""
+    dims_ok = (
+        all(_supported(r, cp_spec.n_components) for r in cp_spec.resolutions)
+        and cp_spec.n_features > 0
+        and cp_spec.n_features % 8 == 0
+        and mlp_spec.n_neurons % 8 == 0
+        and mlp_spec.dim_out % 8 == 0
+        and mlp_spec.dim_in == cp_spec.n_output_dims
+        and mlp_spec.dim_out <= mlp_spec.n_neurons  # packed-width invariant
+    )
+    mlp_ok = (
+        mlp_spec.activation.lower() == "relu"
+        and mlp_spec.precision == "bf16"
+        and not mlp_spec.weight_norm
+        and not mlp_spec.sphere_init
+        and mlp_spec.n_hidden_layers >= 1
+    )
+    return dims_ok and mlp_ok
+
+
+def _block_n_fused(spec: CPSpec) -> int:
+    return min(_block_n(r) for r in spec.resolutions)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(spec, n_hidden, refs):
+    """refs layout (S = n scales, H = n_hidden):
+    in:  lines_0..lines_{S-1} (3, C, R_s), basis (E, S*C),
+         ws (sum of layer cols, Wmax) packed MLP weights, bs (L, Wmax),
+         u (3, BN)
+    out: out (D, BN) f32, vsave (3, S*C, BN) bf16, hsave (H, W, BN) bf16
+    """
+    s_count = len(spec.resolutions)
+    lines_refs = refs[:s_count]
+    basis_ref, ws_ref, bs_ref, u_ref = refs[s_count : s_count + 4]
+    out_ref, v_ref, h_ref = refs[s_count + 4 :]
+    c = spec.n_components
+    bn = u_ref.shape[1]
+
+    prods = []
+    for s, res in enumerate(spec.resolutions):
+        prod = None
+        for ax in range(3):
+            _, p = _axis_p(res, u_ref, ax)
+            v = jax.lax.dot_general(
+                lines_refs[s][ax], _tent(res, p, bn), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, BN)
+            v_ref[ax, pl.ds(s * c, c), :] = v.astype(jnp.bfloat16)
+            prod = v if prod is None else prod * v
+        prods.append(prod)
+    prod_all = jnp.concatenate(prods, axis=0)  # (S*C, BN) f32
+
+    enc = jax.lax.dot_general(
+        basis_ref[...], prod_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (E, BN)
+
+    h = enc
+    row = 0
+    for li in range(n_hidden + 1):
+        d_in = h.shape[0]
+        w = ws_ref[pl.ds(row, d_in), :]  # (d_in, Wmax); cols beyond d_out are 0
+        row += d_in
+        z = jax.lax.dot_general(
+            w, h.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Wmax, BN)
+        z = z + jnp.transpose(bs_ref[pl.ds(li, 1), :])
+        if li < n_hidden:
+            h = jnp.maximum(z[: h_ref.shape[1], :], 0.0)
+            h_ref[li] = h.astype(jnp.bfloat16)
+        else:
+            h = z
+    out_ref[...] = h[: out_ref.shape[0], :]
+
+
+def _bwd_kernel(spec, n_hidden, refs):
+    """in:  lines (unused rows ok), basis, ws, bs, u, vsave, hsave, dout
+    out: dbasis (E, S*C), dws (rows, Wmax), dbs (L, Wmax),
+         dlines_0..{S-1} (3, C, R_s)   [all f32 VMEM accumulators]
+    """
+    s_count = len(spec.resolutions)
+    basis_ref, ws_ref, u_ref, v_ref, h_ref, dout_ref = refs[:6]
+    dbasis_ref, dws_ref, dbs_ref = refs[6:9]
+    dlines_refs = refs[9:]
+    c = spec.n_components
+    e = basis_ref.shape[0]
+    bn = u_ref.shape[1]
+    i = pl.program_id(0)
+
+    def acc(ref, val, idx=None):
+        @pl.when(i == 0)
+        def _():
+            if idx is None:
+                ref[...] = val
+            else:
+                ref[idx] = val
+
+        @pl.when(i > 0)
+        def _():
+            if idx is None:
+                ref[...] = ref[...] + val
+            else:
+                ref[idx] = ref[idx] + val
+
+    # ---- recompute enc and hidden pre-images from residuals
+    v = v_ref[...].astype(jnp.float32)  # (3, S*C, BN)
+    prod_all = v[0] * v[1] * v[2]
+    enc = jax.lax.dot_general(
+        basis_ref[...], prod_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (E, BN)
+
+    # ---- MLP backward (packed weights: rows laid out per layer)
+    acts = [enc] + [h_ref[li].astype(jnp.float32) for li in range(n_hidden)]
+    rows = [acts[li].shape[0] for li in range(n_hidden + 1)]
+    row_of = [0]
+    for r in rows:
+        row_of.append(row_of[-1] + r)
+
+    g = dout_ref[...]  # (D, BN) f32; D <= Wmax
+    wmax = ws_ref.shape[1]
+    d = g.shape[0]
+    if d < wmax:
+        g = jnp.concatenate(
+            [g, jnp.zeros((wmax - d, bn), jnp.float32)], axis=0
+        )  # pad to (Wmax, BN) so layer math is uniform
+    for li in range(n_hidden, -1, -1):
+        a = acts[li]  # (d_in, BN) layer input
+        # dW_li += a @ g^T  -> (d_in, Wmax)
+        dw = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc(dws_ref, dw, idx=(pl.ds(row_of[li], rows[li]), slice(None)))
+        acc(dbs_ref, jnp.sum(g, axis=1, keepdims=True).T, idx=(pl.ds(li, 1), slice(None)))
+        # d input = W_li @ g ; relu mask for hidden layers
+        w = ws_ref[pl.ds(row_of[li], rows[li]), :]
+        g_in = jax.lax.dot_general(
+            w, g.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d_in, BN)
+        if li > 0:
+            g = g_in * (acts[li] > 0.0)
+        else:
+            d_enc = g_in  # (E, BN)
+
+    # ---- basis backward
+    acc(
+        dbasis_ref,
+        jax.lax.dot_general(
+            d_enc.astype(jnp.bfloat16), prod_all.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+    )
+    d_prod = jax.lax.dot_general(
+        basis_ref[...], d_enc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S*C, BN)
+
+    # ---- line-table backward per scale/axis (no du: see module docstring)
+    for s, res in enumerate(spec.resolutions):
+        vs = [v[ax, s * c : (s + 1) * c, :] for ax in range(3)]
+        others = (vs[1] * vs[2], vs[0] * vs[2], vs[0] * vs[1])
+        dp_s = d_prod[s * c : (s + 1) * c, :]
+        for ax in range(3):
+            _, p = _axis_p(res, u_ref, ax)
+            d_v = dp_s * others[ax]
+            contrib = jax.lax.dot_general(
+                d_v.astype(jnp.bfloat16), _tent(res, p, bn),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, R_s)
+            acc(dlines_refs[s], contrib, idx=(ax,))
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def _pack_mlp(mlp_params, wmax):
+    """Pack layer weights into one (sum d_in, Wmax) matrix and biases into
+    (L, Wmax); columns beyond each layer's d_out are zero (exact no-ops in
+    the matmuls since the next layer's input rows are sliced, and the padded
+    g columns of the LAST layer are zeroed cotangents)."""
+    ws, bs = [], []
+    for layer in mlp_params:
+        w, b = layer["w"], layer["b"]
+        d_in, d_out = w.shape
+        ws.append(jnp.pad(w, ((0, 0), (0, wmax - d_out))))
+        bs.append(jnp.pad(b, (0, wmax - d_out))[None, :])
+    return (
+        jnp.concatenate(ws, axis=0).astype(jnp.bfloat16),
+        jnp.concatenate(bs, axis=0).astype(jnp.float32),
+    )
+
+
+def _unpack_mlp_grads(dws, dbs, mlp_params):
+    out = []
+    row = 0
+    for layer in mlp_params:
+        d_in, d_out = layer["w"].shape
+        out.append(
+            {"w": dws[row : row + d_in, :d_out], "b": dbs[len(out), :d_out]}
+        )
+        row += d_in
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def cp_mlp_apply(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
+    """Fused (CP encode -> basis -> bf16 ReLU MLP)(x): (..., 3) -> (..., D).
+
+    Differentiable w.r.t. cp_params and mlp_params ONLY; x is treated as a
+    constant (zero cotangent) — see module docstring. Callers must satisfy
+    ``fusable(cp_spec, mlp_spec)``.
+    """
+    out, _, _ = _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    return out
+
+
+def _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec):
+    batch_shape = x.shape[:-1]
+    xf = jax.lax.stop_gradient(x).reshape(-1, 3)
+    c = cp_spec.n_components
+    s_count = len(cp_spec.resolutions)
+    e = cp_spec.n_output_dims
+    w_neurons = mlp_spec.n_neurons
+    d_out = mlp_spec.dim_out
+    n_hidden = mlp_spec.n_hidden_layers
+    wmax = max(w_neurons, d_out)
+    bn = _block_n_fused(cp_spec)
+
+    u3p, n = _pad_n(xf.astype(jnp.float32).T, bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+
+    lines = [
+        jnp.stack(
+            [cp_params[f"line_{s}_{ax}"].T for ax in range(3)]
+        ).astype(jnp.bfloat16)
+        for s in range(s_count)
+    ]
+    # block-diagonal (E, S*C) basis: scale s's (C, F) block transposed into
+    # rows [s*F:(s+1)*F], cols [s*C:(s+1)*C]
+    f = cp_spec.n_features
+    basis = jnp.zeros((e, s_count * c), jnp.float32)
+    for s in range(s_count):
+        basis = basis.at[s * f : (s + 1) * f, s * c : (s + 1) * c].set(
+            cp_params[f"basis_{s}"].T
+        )
+    basis = basis.astype(jnp.bfloat16)
+    ws, bs = _pack_mlp(mlp_params, wmax)
+    n_wrows = ws.shape[0]
+    n_layers = n_hidden + 1
+
+    in_specs = [
+        pl.BlockSpec((3, c, r), lambda i: (0, 0, 0)) for r in cp_spec.resolutions
+    ] + [
+        pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+        pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+        pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
+        pl.BlockSpec((3, bn), lambda i: (0, i)),
+    ]
+    out, vsave, hsave = pl.pallas_call(
+        lambda *refs: _fwd_kernel(cp_spec, n_hidden, refs),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((d_out, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, s_count * c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((max(n_hidden, 1), w_neurons, bn), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_out, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_count * c, npad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((max(n_hidden, 1), w_neurons, npad), jnp.bfloat16),
+        ],
+        interpret=_interpret_default(),
+    )(*lines, basis, ws, bs, u3p)
+    out = out[:, :n].T.reshape(*batch_shape, d_out)
+    return out, (u3p, n, vsave, hsave), (lines, basis, ws, bs)
+
+
+def _cp_mlp_fwd(cp_params, mlp_params, x, cp_spec, mlp_spec):
+    out, (u3p, n, vsave, hsave), _ = _fwd_impl(
+        cp_params, mlp_params, x, cp_spec, mlp_spec
+    )
+    return out, (cp_params, mlp_params, u3p, n, vsave, hsave, x)
+
+
+def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
+    cp_params, mlp_params, u3p, n, vsave, hsave, x_saved = saved
+    c = cp_spec.n_components
+    s_count = len(cp_spec.resolutions)
+    e = cp_spec.n_output_dims
+    f = cp_spec.n_features
+    w_neurons = mlp_spec.n_neurons
+    d_out = mlp_spec.dim_out
+    n_hidden = mlp_spec.n_hidden_layers
+    wmax = max(w_neurons, d_out)
+    bn = _block_n_fused(cp_spec)
+    npad = u3p.shape[1]
+    nb = npad // bn
+
+    dflat = dout.reshape(-1, d_out).T  # (D, N)
+    dp = jnp.pad(dflat.astype(jnp.float32), ((0, 0), (0, npad - n)))
+
+    lines = [
+        jnp.stack(
+            [cp_params[f"line_{s}_{ax}"].T for ax in range(3)]
+        ).astype(jnp.bfloat16)
+        for s in range(s_count)
+    ]
+    basis = jnp.zeros((e, s_count * c), jnp.float32)
+    for s in range(s_count):
+        basis = basis.at[s * f : (s + 1) * f, s * c : (s + 1) * c].set(
+            cp_params[f"basis_{s}"].T
+        )
+    basis = basis.astype(jnp.bfloat16)
+    ws, _ = _pack_mlp(mlp_params, wmax)
+    n_wrows = ws.shape[0]
+    n_layers = n_hidden + 1
+
+    in_specs = [
+        pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+        pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+        pl.BlockSpec((3, bn), lambda i: (0, i)),
+        pl.BlockSpec((3, s_count * c, bn), lambda i: (0, 0, i)),
+        pl.BlockSpec((max(n_hidden, 1), w_neurons, bn), lambda i: (0, 0, i)),
+        pl.BlockSpec((d_out, bn), lambda i: (0, i)),
+    ]
+    out_specs = [
+        pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+        pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+        pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
+    ] + [
+        pl.BlockSpec((3, c, r), lambda i: (0, 0, 0)) for r in cp_spec.resolutions
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((e, s_count * c), jnp.float32),
+        jax.ShapeDtypeStruct((n_wrows, wmax), jnp.float32),
+        jax.ShapeDtypeStruct((n_layers, wmax), jnp.float32),
+    ] + [
+        jax.ShapeDtypeStruct((3, c, r), jnp.float32) for r in cp_spec.resolutions
+    ]
+    outs = pl.pallas_call(
+        lambda *refs: _bwd_kernel(cp_spec, n_hidden, refs),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret_default(),
+    )(basis, ws, u3p, vsave, hsave, dp)
+    dbasis, dws, dbs, *dlines = outs
+
+    d_cp = {}
+    for s in range(s_count):
+        for ax in range(3):
+            d_cp[f"line_{s}_{ax}"] = dlines[s][ax].T
+        d_cp[f"basis_{s}"] = dbasis[
+            s * f : (s + 1) * f, s * c : (s + 1) * c
+        ].T
+    d_mlp = _unpack_mlp_grads(dws, dbs, mlp_params)
+    dx = jnp.zeros_like(x_saved)
+    return d_cp, d_mlp, dx
+
+
+cp_mlp_apply.defvjp(_cp_mlp_fwd, _cp_mlp_bwd)
+
+
+def cp_mlp_reference(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
+    """Plain-XLA twin with the SAME precision contract (bf16 tent weights
+    are the only intentional difference from ops/cp.py's f32-weight XLA
+    path) — used by parity tests."""
+    from instant_nsr_pl_tpu.ops.cp_pallas import cp_product_reference
+    from instant_nsr_pl_tpu.ops.mlp import mlp_apply
+
+    xf = x.reshape(-1, 3)
+    outs = []
+    for s, r in enumerate(cp_spec.resolutions):
+        prod = cp_product_reference(
+            cp_params[f"line_{s}_0"],
+            cp_params[f"line_{s}_1"],
+            cp_params[f"line_{s}_2"],
+            xf.astype(jnp.float32).T,
+            r,
+        )  # (C, N)
+        outs.append(
+            jnp.dot(
+                cp_params[f"basis_{s}"].T.astype(jnp.bfloat16),
+                prod.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    enc = jnp.concatenate(outs, axis=0).T  # (N, E)
+    out = mlp_apply(mlp_params, enc, mlp_spec)
+    return out.reshape(*x.shape[:-1], mlp_spec.dim_out)
