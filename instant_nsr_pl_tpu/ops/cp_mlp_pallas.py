@@ -56,6 +56,14 @@ from instant_nsr_pl_tpu.ops.cp_pallas import (
     _supported,
     _tent,
 )
+from instant_nsr_pl_tpu.ops.mlp_pallas_common import (
+    kernel_mlp_bwd,
+    kernel_mlp_fwd,
+    make_acc,
+    mlp_wmax,
+    pack_mlp,
+    unpack_mlp_grads,
+)
 
 
 def fusable(cp_spec: CPSpec, mlp_spec) -> bool:
@@ -121,23 +129,9 @@ def _fwd_kernel(spec, n_hidden, refs):
         preferred_element_type=jnp.float32,
     )  # (E, BN)
 
-    h = enc
-    row = 0
-    for li in range(n_hidden + 1):
-        d_in = h.shape[0]
-        w = ws_ref[pl.ds(row, d_in), :]  # (d_in, Wmax); cols beyond d_out are 0
-        row += d_in
-        z = jax.lax.dot_general(
-            w, h.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Wmax, BN)
-        z = z + jnp.transpose(bs_ref[pl.ds(li, 1), :])
-        if li < n_hidden:
-            h = jnp.maximum(z[: h_ref.shape[1], :], 0.0)
-            h_ref[li] = h.astype(jnp.bfloat16)
-        else:
-            h = z
-    out_ref[...] = h[: out_ref.shape[0], :]
+    out_ref[...] = kernel_mlp_fwd(
+        ws_ref, bs_ref, enc, n_hidden, h_ref, out_ref.shape[0]
+    )
 
 
 def _bwd_kernel(spec, n_hidden, refs):
@@ -152,24 +146,9 @@ def _bwd_kernel(spec, n_hidden, refs):
     c = spec.n_components
     e = basis_ref.shape[0]
     bn = u_ref.shape[1]
-    i = pl.program_id(0)
+    acc = make_acc(pl.program_id(0))
 
-    def acc(ref, val, idx=None):
-        @pl.when(i == 0)
-        def _():
-            if idx is None:
-                ref[...] = val
-            else:
-                ref[idx] = val
-
-        @pl.when(i > 0)
-        def _():
-            if idx is None:
-                ref[...] = ref[...] + val
-            else:
-                ref[idx] = ref[idx] + val
-
-    # ---- recompute enc and hidden pre-images from residuals
+    # ---- recompute enc from residuals
     v = v_ref[...].astype(jnp.float32)  # (3, S*C, BN)
     prod_all = v[0] * v[1] * v[2]
     enc = jax.lax.dot_general(
@@ -177,40 +156,9 @@ def _bwd_kernel(spec, n_hidden, refs):
         preferred_element_type=jnp.float32,
     )  # (E, BN)
 
-    # ---- MLP backward (packed weights: rows laid out per layer)
-    acts = [enc] + [h_ref[li].astype(jnp.float32) for li in range(n_hidden)]
-    rows = [acts[li].shape[0] for li in range(n_hidden + 1)]
-    row_of = [0]
-    for r in rows:
-        row_of.append(row_of[-1] + r)
-
-    g = dout_ref[...]  # (D, BN) f32; D <= Wmax
-    wmax = ws_ref.shape[1]
-    d = g.shape[0]
-    if d < wmax:
-        g = jnp.concatenate(
-            [g, jnp.zeros((wmax - d, bn), jnp.float32)], axis=0
-        )  # pad to (Wmax, BN) so layer math is uniform
-    for li in range(n_hidden, -1, -1):
-        a = acts[li]  # (d_in, BN) layer input
-        # dW_li += a @ g^T  -> (d_in, Wmax)
-        dw = jax.lax.dot_general(
-            a.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc(dws_ref, dw, idx=(pl.ds(row_of[li], rows[li]), slice(None)))
-        acc(dbs_ref, jnp.sum(g, axis=1, keepdims=True).T, idx=(pl.ds(li, 1), slice(None)))
-        # d input = W_li @ g ; relu mask for hidden layers
-        w = ws_ref[pl.ds(row_of[li], rows[li]), :]
-        g_in = jax.lax.dot_general(
-            w, g.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (d_in, BN)
-        if li > 0:
-            g = g_in * (acts[li] > 0.0)
-        else:
-            d_enc = g_in  # (E, BN)
+    d_enc = kernel_mlp_bwd(
+        ws_ref, h_ref, enc, dout_ref[...], n_hidden, acc, dws_ref, dbs_ref
+    )  # (E, BN)
 
     # ---- basis backward
     acc(
@@ -251,35 +199,6 @@ def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _pack_mlp(mlp_params, wmax):
-    """Pack layer weights into one (sum d_in, Wmax) matrix and biases into
-    (L, Wmax); columns beyond each layer's d_out are zero (exact no-ops in
-    the matmuls since the next layer's input rows are sliced, and the padded
-    g columns of the LAST layer are zeroed cotangents)."""
-    ws, bs = [], []
-    for layer in mlp_params:
-        w, b = layer["w"], layer["b"]
-        d_in, d_out = w.shape
-        ws.append(jnp.pad(w, ((0, 0), (0, wmax - d_out))))
-        bs.append(jnp.pad(b, (0, wmax - d_out))[None, :])
-    return (
-        jnp.concatenate(ws, axis=0).astype(jnp.bfloat16),
-        jnp.concatenate(bs, axis=0).astype(jnp.float32),
-    )
-
-
-def _unpack_mlp_grads(dws, dbs, mlp_params):
-    out = []
-    row = 0
-    for layer in mlp_params:
-        d_in, d_out = layer["w"].shape
-        out.append(
-            {"w": dws[row : row + d_in, :d_out], "b": dbs[len(out), :d_out]}
-        )
-        row += d_in
-    return out
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def cp_mlp_apply(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
     """Fused (CP encode -> basis -> bf16 ReLU MLP)(x): (..., 3) -> (..., D).
@@ -301,7 +220,7 @@ def _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec):
     w_neurons = mlp_spec.n_neurons
     d_out = mlp_spec.dim_out
     n_hidden = mlp_spec.n_hidden_layers
-    wmax = max(w_neurons, d_out)
+    wmax = mlp_wmax(mlp_spec)
     bn = _block_n_fused(cp_spec)
 
     u3p, n = _pad_n(xf.astype(jnp.float32).T, bn, 0.5)
@@ -323,7 +242,7 @@ def _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec):
             cp_params[f"basis_{s}"].T
         )
     basis = basis.astype(jnp.bfloat16)
-    ws, bs = _pack_mlp(mlp_params, wmax)
+    ws, bs = pack_mlp(mlp_params, wmax)
     n_wrows = ws.shape[0]
     n_layers = n_hidden + 1
 
@@ -371,7 +290,7 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
     w_neurons = mlp_spec.n_neurons
     d_out = mlp_spec.dim_out
     n_hidden = mlp_spec.n_hidden_layers
-    wmax = max(w_neurons, d_out)
+    wmax = mlp_wmax(mlp_spec)
     bn = _block_n_fused(cp_spec)
     npad = u3p.shape[1]
     nb = npad // bn
@@ -391,7 +310,7 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
             cp_params[f"basis_{s}"].T
         )
     basis = basis.astype(jnp.bfloat16)
-    ws, _ = _pack_mlp(mlp_params, wmax)
+    ws, _ = pack_mlp(mlp_params, wmax)
     n_wrows = ws.shape[0]
     n_layers = n_hidden + 1
 
@@ -434,7 +353,7 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
         d_cp[f"basis_{s}"] = dbasis[
             s * f : (s + 1) * f, s * c : (s + 1) * c
         ].T
-    d_mlp = _unpack_mlp_grads(dws, dbs, mlp_params)
+    d_mlp = unpack_mlp_grads(dws, dbs, mlp_params)
     dx = jnp.zeros_like(x_saved)
     return d_cp, d_mlp, dx
 
