@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.registry import models
 from instant_nsr_pl_tpu.ops.activations import get_activation
-from instant_nsr_pl_tpu.models.network_utils import get_encoding, get_mlp
+from instant_nsr_pl_tpu.models.network_utils import (
+    CompositeEncoding,
+    SphericalHarmonicsEncoding,
+    get_encoding,
+    get_mlp,
+)
 
 
 @models.register("volume-radiance")
@@ -37,6 +42,25 @@ class VolumeRadiance:
             if "color_activation" in config
             else None
         )
+        # fused SH+MLP Pallas path (ops/sh_mlp_pallas.py): SH-encoded dirs
+        # + bf16 ReLU MLP, i.e. the reference's tcnn radiance head. Default
+        # on TPU only (interpret mode is correct but slow elsewhere);
+        # dims re-checked per call because extras (NeuS normals) arrive at
+        # call time.
+        inner = getattr(self.dir_encoding, "encoding", None)
+        sh_ok = (
+            isinstance(self.dir_encoding, CompositeEncoding)
+            and not self.dir_encoding.include_xyz
+            and isinstance(inner, SphericalHarmonicsEncoding)
+        )
+        self._sh_degree = inner.degree if sh_ok else None
+        default_fused = sh_ok and jax.default_backend() == "tpu"
+        self.fused = bool(config.get("fused", default_fused)) and sh_ok
+        if self.fused:
+            from instant_nsr_pl_tpu.ops.sh_mlp_pallas import fusable
+
+            n_feat = self.n_input_dims - self.dir_encoding.n_output_dims
+            self.fused = fusable(self.network.spec, n_feat, self._sh_degree)
 
     def init(self, rng):
         k_enc, k_net = jax.random.split(rng)
@@ -47,6 +71,29 @@ class VolumeRadiance:
 
     def apply(self, params, features, dirs, *extras, step=None):
         """features (N, D), dirs (N, 3) unit world dirs, extras e.g. normals."""
+        n_feat = features.shape[-1] + sum(e.shape[-1] for e in extras)
+        if self.fused and n_feat + self.dir_encoding.n_output_dims == (
+            self.network.spec.dim_in
+        ):
+            from instant_nsr_pl_tpu.ops.sh_mlp_pallas import sh_mlp_apply
+
+            feats_all = (
+                jnp.concatenate([features] + list(extras), axis=-1)
+                if extras
+                else features
+            )
+            color = sh_mlp_apply(
+                params["network"]["layers"],
+                feats_all.astype(jnp.float32),
+                dirs,
+                self.network.spec,
+                self._sh_degree,
+                features.shape[-1],
+            )
+            color = self.network.output_activation(color)
+            if self.color_activation is not None:
+                color = self.color_activation(color)
+            return color
         d = (dirs + 1.0) / 2.0  # map to [0,1] (tcnn SH convention)
         dirs_embd = self.dir_encoding.apply(params["dir_encoding"], d, step=step)
         inp = jnp.concatenate(
