@@ -468,3 +468,214 @@ def _cp_product_jac_bwd(res, saved, cts):
 
 
 cp_product_jac.defvjp(_cp_product_jac_fwd, _cp_product_jac_bwd)
+
+
+# ---------------------------------------------------------------------------
+# product + Jacobian with the basis projection fused in (the NeuS
+# analytic-gradient hot path when n_features > 0): outputs shrink from
+# (C, N)/(3, C, N) to (F, N)/(3, F, N) — 4x less Jacobian HBM traffic at
+# the flagship spec (C=64, F=16) in BOTH directions, and the projection
+# matmuls run on operands already resident in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _jacb_fwd_kernel(res, c, lines_ref, bt_ref, u_ref,
+                     enc_ref, jac_ref, v_ref, gd_ref):
+    """Like _jac_fwd_kernel but projects prod/jac through B^T (F, C)."""
+    bn = u_ref.shape[1]
+    vs, gs = [], []
+    for ax in range(3):
+        u_ax, p = _axis_p(res, u_ref, ax)
+        v = jax.lax.dot_general(
+            lines_ref[ax], _tent(res, p, bn), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gd = jax.lax.dot_general(
+            lines_ref[ax], _diffhot(res, p, bn), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v_ref[ax] = v.astype(jnp.bfloat16)
+        gd_ref[ax] = gd.astype(jnp.bfloat16)
+        vs.append(v)
+        gs.append(gd * ((res - 1) * _inrange_half(u_ax)))
+
+    def proj(x):
+        return jax.lax.dot_general(
+            bt_ref[...], x.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    enc_ref[...] = proj(vs[0] * vs[1] * vs[2])
+    jac_ref[0] = proj(gs[0] * (vs[1] * vs[2]))
+    jac_ref[1] = proj(gs[1] * (vs[0] * vs[2]))
+    jac_ref[2] = proj(gs[2] * (vs[0] * vs[1]))
+
+
+def _jacb_bwd_kernel(res, c, lines_ref, bt_ref, u_ref, v_ref, gd_ref,
+                     de_ref, dj_ref, dl_ref, du_ref, dbt_ref):
+    """Cotangents (d enc, d jac) -> (d lines, d u, d basis^T).
+
+    Identical math to _jac_bwd_kernel after pulling the cotangents back
+    through the projection (dP = B @ d_enc, dJ_ax = B @ d_jac_ax) and
+    accumulating d B^T from the recomputed pre-projection products."""
+    i = pl.program_id(0)
+    bn = u_ref.shape[1]
+    v = [v_ref[ax].astype(jnp.float32) for ax in range(3)]
+    gd = [gd_ref[ax].astype(jnp.float32) for ax in range(3)]
+    u_axs, ss = [], []
+    for ax in range(3):
+        u_ax, _ = _axis_p(res, u_ref, ax)
+        u_axs.append(u_ax)
+        ss.append((res - 1) * _inrange_half(u_ax))
+    others = (v[1] * v[2], v[0] * v[2], v[0] * v[1])
+    prod = v[0] * others[0]
+    jpre = [gd[ax] * ss[ax] * others[ax] for ax in range(3)]  # (C, BN)
+
+    def unproj(x):  # B @ x : (C, BN)
+        return jax.lax.dot_general(
+            bt_ref[...], x.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def outerT(a, b):  # a (F, BN) x b (C, BN) -> (F, C)
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    de = de_ref[...]  # (F, BN)
+    dbt = outerT(de, prod)
+    dp = unproj(de)  # (C, BN)
+    djs = []
+    for ax in range(3):
+        dj_ax = dj_ref[ax]  # (F, BN)
+        dbt = dbt + outerT(dj_ax, jpre[ax])
+        djs.append(unproj(dj_ax))  # (C, BN)
+
+    @pl.when(i == 0)
+    def _():
+        dbt_ref[...] = dbt
+
+    @pl.when(i > 0)
+    def _():
+        dbt_ref[...] = dbt_ref[...] + dbt
+
+    gs = [djs[ax] * gd[ax] * ss[ax] for ax in range(3)]
+    for ax in range(3):
+        b1, b2 = [b for b in range(3) if b != ax]
+        d_v = dp * others[ax] + gs[b1] * v[b2] + gs[b2] * v[b1]
+        d_gd = djs[ax] * ss[ax] * others[ax]
+        du_ref[pl.ds(ax, 1), :] = jnp.sum(
+            d_v * gd[ax], axis=0, keepdims=True
+        ) * ss[ax]
+        _, p = _axis_p(res, u_ref, ax)
+        contrib = jax.lax.dot_general(
+            d_v.astype(jnp.bfloat16), _tent(res, p, bn),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            d_gd.astype(jnp.bfloat16), _diffhot(res, p, bn),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dl_ref[ax] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            dl_ref[ax] = dl_ref[ax] + contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def cp_product_jac_basis(lx, ly, lz, basis, u3, res):
+    """(enc (F, N), jac (3, F, N)) with the (C, F) basis projection fused:
+    enc = B^T (vx*vy*vz), jac = d enc / d u3. One custom-VJP Pallas op —
+    same second-order contract as ``cp_product_jac`` (the Jacobian is a
+    forward OUTPUT; the loss backward only needs this op's VJP)."""
+    enc, jac, _, _ = _cp_jacb_fwd_impl(lx, ly, lz, basis, u3, res)
+    return enc, jac
+
+
+def _cp_jacb_fwd_impl(lx, ly, lz, basis, u3, res):
+    c = lx.shape[1]
+    f = basis.shape[1]
+    bn = _block_n(res)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    lines = _lines_stack(lx, ly, lz)
+    bt = basis.T.astype(jnp.bfloat16)  # (F, C)
+    enc, jac, vsave, gdsave = pl.pallas_call(
+        functools.partial(_jacb_fwd_kernel, res, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((f, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((f, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, f, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, f, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, npad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((3, c, npad), jnp.bfloat16),
+        ],
+        interpret=_interpret_default(),
+    )(lines, bt, u3p)
+    return enc[:, :n], jac[:, :, :n], vsave, gdsave
+
+
+def _cp_jacb_fwd(lx, ly, lz, basis, u3, res):
+    enc, jac, vsave, gdsave = _cp_jacb_fwd_impl(lx, ly, lz, basis, u3, res)
+    return (enc, jac), (lx, ly, lz, basis, u3, vsave, gdsave)
+
+
+def _cp_jacb_bwd(res, saved, cts):
+    denc, djac = cts
+    lx, ly, lz, basis, u3, vsave, gdsave = saved
+    c = lx.shape[1]
+    f = basis.shape[1]
+    bn = _block_n(res)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    de = jnp.pad(denc, ((0, 0), (0, npad - n)))
+    dj = jnp.pad(djac, ((0, 0), (0, 0), (0, npad - n)))
+    lines = _lines_stack(lx, ly, lz)
+    bt = basis.T.astype(jnp.bfloat16)
+    dl, du, dbt = pl.pallas_call(
+        functools.partial(_jacb_bwd_kernel, res, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((f, c), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((f, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, f, bn), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((f, c), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, c, res), jnp.float32),
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(lines, bt, u3p, vsave, gdsave, de, dj)
+    return dl[0].T, dl[1].T, dl[2].T, dbt.T, du[:, :n]
+
+
+cp_product_jac_basis.defvjp(_cp_jacb_fwd, _cp_jacb_bwd)

@@ -176,3 +176,53 @@ def test_cp_encode_with_jac_impls_agree():
     np.testing.assert_allclose(
         np.asarray(j1), np.asarray(j2), atol=8e-3 * scale
     )
+
+
+def test_jac_basis_matches_unfused(lines):
+    """cp_product_jac_basis == basis-projected cp_product_jac (values and
+    all gradients incl. d basis), to bf16-operand tolerance."""
+    from instant_nsr_pl_tpu.ops.cp_pallas import (
+        cp_product_jac,
+        cp_product_jac_basis,
+    )
+
+    R, lx, ly, lz, u3, _ = lines
+    C = lx.shape[1]
+    F = 8
+    basis = jax.random.normal(jax.random.PRNGKey(11), (C, F)) / np.sqrt(C)
+
+    enc_b, jac_b = cp_product_jac_basis(lx, ly, lz, basis, u3, R)
+
+    prod, jac = cp_product_jac(lx, ly, lz, u3, R)
+    bt = basis.T.astype(jnp.bfloat16)
+    enc_u = jnp.dot(bt, prod.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    jac_u = jnp.einsum("fc,acn->afn", bt, jac.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    s = max(float(jnp.abs(enc_u).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(enc_b), np.asarray(enc_u), atol=8e-3 * s)
+    s = max(float(jnp.abs(jac_u).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(jac_b), np.asarray(jac_u), atol=8e-3 * s)
+
+    ct_e = jax.random.normal(jax.random.PRNGKey(12), enc_b.shape)
+    ct_j = jax.random.normal(jax.random.PRNGKey(13), jac_b.shape)
+
+    def loss_b(lx, ly, lz, b, u):
+        e, j = cp_product_jac_basis(lx, ly, lz, b, u, R)
+        return jnp.sum(e * ct_e) + jnp.sum(j * ct_j)
+
+    def loss_u(lx, ly, lz, b, u):
+        p, j = cp_product_jac(lx, ly, lz, u, R)
+        bt = b.T.astype(jnp.bfloat16)
+        e = jnp.dot(bt, p.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        jj = jnp.einsum("fc,acn->afn", bt, j.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        return jnp.sum(e * ct_e) + jnp.sum(jj * ct_j)
+
+    g_b = jax.grad(loss_b, argnums=(0, 1, 2, 3, 4))(lx, ly, lz, basis, u3)
+    g_u = jax.grad(loss_u, argnums=(0, 1, 2, 3, 4))(lx, ly, lz, basis, u3)
+    for a, b in zip(g_u, g_b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=1.5e-2 * scale)
