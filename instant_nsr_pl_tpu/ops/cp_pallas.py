@@ -93,7 +93,8 @@ def _axis_p(res, u_ref, ax):
 
 def _tent(res, p, bn):
     """(R, BN) bf16 tent operand: (1-f) at i0, f at i0+1, 0 elsewhere."""
-    iota = jax.lax.broadcasted_iota(jnp.float32, (res, bn), 0)
+    # tpu.iota is integer-only; cast after (Mosaic lowering restriction)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (res, bn), 0).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(iota - p)).astype(jnp.bfloat16)
 
 
@@ -102,7 +103,7 @@ def _diffhot(res, p, bn):
     with the same i0 = min(floor(p), res-2) convention as the XLA path
     (right-derivative at exact interior grid points)."""
     i0 = jnp.minimum(jnp.floor(p), res - 2)  # (1, BN) f32, exact
-    iota = jax.lax.broadcasted_iota(jnp.float32, (res, bn), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (res, bn), 0).astype(jnp.float32)
     return (
         (iota == (i0 + 1.0)).astype(jnp.float32)
         - (iota == i0).astype(jnp.float32)
