@@ -192,9 +192,21 @@ class CPEncoding:
         self.grad_mode = str(config.get("grad_mode", default_mode))
         if self.grad_mode == "fast" and not pallas_ok:
             raise ValueError(
-                "grad_mode: fast needs CP resolutions and n_components "
-                f"divisible by 8; got {self.spec}"
+                "grad_mode: fast needs n_components divisible by 8; "
+                f"got {self.spec}"
             )
+        # stacked-scales fused density kernel (ops/cp_mlp_pallas.py): all
+        # scales on one grid, full-width MXU matmuls. Needs exactly nested
+        # resolutions, e.g. (129, 2049). Off by default pending TPU A/B.
+        self.stack_scales = bool(config.get("stack_scales", False))
+        if self.stack_scales:
+            from instant_nsr_pl_tpu.ops.cp_mlp_pallas import stackable
+
+            if not stackable(self.spec):
+                raise ValueError(
+                    "stack_scales needs nested resolutions: (R_max-1) must "
+                    f"be a multiple of every (R_s-1); got {self.spec}"
+                )
 
     def init(self, rng):
         return {"cp": self._init(rng, self.spec)}
@@ -363,13 +375,18 @@ class EncodingWithNetwork:
 
     def apply(self, params, x, step=None):
         if self.fused:
-            from instant_nsr_pl_tpu.ops.cp_mlp_pallas import cp_mlp_apply
+            from instant_nsr_pl_tpu.ops.cp_mlp_pallas import (
+                cp_mlp_apply,
+                cp_mlp_apply_stacked,
+            )
 
-            out = cp_mlp_apply(
+            inner = self.encoding.encoding
+            op = cp_mlp_apply_stacked if inner.stack_scales else cp_mlp_apply
+            out = op(
                 params["encoding"]["cp"],
                 params["network"]["layers"],
                 x,
-                self.encoding.encoding.spec,
+                inner.spec,
                 self.network.spec,
             )
             return self.network.output_activation(out)

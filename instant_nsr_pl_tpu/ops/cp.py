@@ -134,8 +134,8 @@ def cp_encode(params, x, spec: CPSpec, impl: str = "xla"):
         for s, r in enumerate(spec.resolutions):
             if not _supported(r, spec.n_components):
                 raise ValueError(
-                    f"cp_encode impl='pallas' needs R, C multiples of 8; "
-                    f"got R={r}, C={spec.n_components} (use impl='xla')"
+                    f"cp_encode impl='pallas' needs n_components divisible "
+                    f"by 8; got C={spec.n_components} (use impl='xla')"
                 )
             prod = cp_product(
                 params[f"line_{s}_0"],

@@ -52,7 +52,9 @@ from instant_nsr_pl_tpu.ops.cp import CPSpec
 from instant_nsr_pl_tpu.ops.cp_pallas import (
     _axis_p,
     _block_n,
+    _lines_stack,
     _pad_n,
+    _rpad,
     _supported,
     _tent,
 )
@@ -116,7 +118,8 @@ def _fwd_kernel(spec, n_hidden, refs):
         for ax in range(3):
             _, p = _axis_p(res, u_ref, ax)
             v = jax.lax.dot_general(
-                lines_refs[s][ax], _tent(res, p, bn), (((1,), (0,)), ((), ())),
+                lines_refs[s][ax], _tent(lines_refs[s].shape[2], p, bn),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (C, BN)
             v_ref[ax, pl.ds(s * c, c), :] = v.astype(jnp.bfloat16)
@@ -183,10 +186,11 @@ def _bwd_kernel(spec, n_hidden, refs):
             _, p = _axis_p(res, u_ref, ax)
             d_v = dp_s * others[ax]
             contrib = jax.lax.dot_general(
-                d_v.astype(jnp.bfloat16), _tent(res, p, bn),
+                d_v.astype(jnp.bfloat16),
+                _tent(dlines_refs[s].shape[2], p, bn),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (C, R_s)
+            )  # (C, rpad(R_s))
             acc(dlines_refs[s], contrib, idx=(ax,))
 
 
@@ -228,9 +232,11 @@ def _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec):
     nb = npad // bn
 
     lines = [
-        jnp.stack(
-            [cp_params[f"line_{s}_{ax}"].T for ax in range(3)]
-        ).astype(jnp.bfloat16)
+        _lines_stack(
+            cp_params[f"line_{s}_0"],
+            cp_params[f"line_{s}_1"],
+            cp_params[f"line_{s}_2"],
+        )
         for s in range(s_count)
     ]
     # block-diagonal (E, S*C) basis: scale s's (C, F) block transposed into
@@ -247,7 +253,8 @@ def _fwd_impl(cp_params, mlp_params, x, cp_spec, mlp_spec):
     n_layers = n_hidden + 1
 
     in_specs = [
-        pl.BlockSpec((3, c, r), lambda i: (0, 0, 0)) for r in cp_spec.resolutions
+        pl.BlockSpec((3, c, _rpad(r)), lambda i: (0, 0, 0))
+        for r in cp_spec.resolutions
     ] + [
         pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
         pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
@@ -299,9 +306,11 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
     dp = jnp.pad(dflat.astype(jnp.float32), ((0, 0), (0, npad - n)))
 
     lines = [
-        jnp.stack(
-            [cp_params[f"line_{s}_{ax}"].T for ax in range(3)]
-        ).astype(jnp.bfloat16)
+        _lines_stack(
+            cp_params[f"line_{s}_0"],
+            cp_params[f"line_{s}_1"],
+            cp_params[f"line_{s}_2"],
+        )
         for s in range(s_count)
     ]
     basis = jnp.zeros((e, s_count * c), jnp.float32)
@@ -327,14 +336,16 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
         pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
         pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
     ] + [
-        pl.BlockSpec((3, c, r), lambda i: (0, 0, 0)) for r in cp_spec.resolutions
+        pl.BlockSpec((3, c, _rpad(r)), lambda i: (0, 0, 0))
+        for r in cp_spec.resolutions
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((e, s_count * c), jnp.float32),
         jax.ShapeDtypeStruct((n_wrows, wmax), jnp.float32),
         jax.ShapeDtypeStruct((n_layers, wmax), jnp.float32),
     ] + [
-        jax.ShapeDtypeStruct((3, c, r), jnp.float32) for r in cp_spec.resolutions
+        jax.ShapeDtypeStruct((3, c, _rpad(r)), jnp.float32)
+        for r in cp_spec.resolutions
     ]
     outs = pl.pallas_call(
         lambda *refs: _bwd_kernel(cp_spec, n_hidden, refs),
@@ -347,9 +358,9 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
     dbasis, dws, dbs, *dlines = outs
 
     d_cp = {}
-    for s in range(s_count):
+    for s, r in enumerate(cp_spec.resolutions):
         for ax in range(3):
-            d_cp[f"line_{s}_{ax}"] = dlines[s][ax].T
+            d_cp[f"line_{s}_{ax}"] = dlines[s][ax, :, :r].T
         d_cp[f"basis_{s}"] = dbasis[
             s * f : (s + 1) * f, s * c : (s + 1) * c
         ].T
@@ -361,17 +372,35 @@ def _cp_mlp_bwd(cp_spec, mlp_spec, saved, dout):
 cp_mlp_apply.defvjp(_cp_mlp_fwd, _cp_mlp_bwd)
 
 
+def _tent_product_reference(lx, ly, lz, u3, res):
+    """Plain-XLA product with the KERNEL's precision (bf16 tent operand),
+    so a ReLU downstream makes the same on/off decisions as the kernel —
+    gradient parity tests need matched forwards, since a mask flip at
+    z ~ 0 produces O(1) per-element gradient differences that are the
+    (correct) gradients of two slightly different forwards."""
+    out = None
+    for ax, line in enumerate((lx, ly, lz)):
+        p = jnp.clip(u3[ax], 0.0, 1.0) * (res - 1)
+        iota = jnp.arange(res, dtype=jnp.float32)[None, :]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(iota - p[:, None])).astype(
+            jnp.bfloat16
+        )  # (N, R)
+        v = jnp.dot(
+            w, line.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        ).T  # (C, N)
+        out = v if out is None else out * v
+    return out
+
+
 def cp_mlp_reference(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
-    """Plain-XLA twin with the SAME precision contract (bf16 tent weights
-    are the only intentional difference from ops/cp.py's f32-weight XLA
-    path) — used by parity tests."""
-    from instant_nsr_pl_tpu.ops.cp_pallas import cp_product_reference
+    """Plain-XLA twin with the SAME precision contract as the kernel
+    (bf16 tent interpolation weights) — used by parity tests."""
     from instant_nsr_pl_tpu.ops.mlp import mlp_apply
 
     xf = x.reshape(-1, 3)
     outs = []
     for s, r in enumerate(cp_spec.resolutions):
-        prod = cp_product_reference(
+        prod = _tent_product_reference(
             cp_params[f"line_{s}_0"],
             cp_params[f"line_{s}_1"],
             cp_params[f"line_{s}_2"],
@@ -388,3 +417,267 @@ def cp_mlp_reference(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
     enc = jnp.concatenate(outs, axis=0).T  # (N, E)
     out = mlp_apply(mlp_params, enc, mlp_spec)
     return out.reshape(*x.shape[:-1], mlp_spec.dim_out)
+
+
+# ---------------------------------------------------------------------------
+# stacked-scales variant: exact piecewise-linear upsampling onto one grid
+# ---------------------------------------------------------------------------
+#
+# A (C, R) x (R, BN) matmul with C=64 leaves half the MXU's 128 LHS rows
+# idle. When every scale's knots are nested in the finest grid — i.e.
+# (R_max - 1) % (R_s - 1) == 0 for all s — a coarse line upsamples onto the
+# fine grid EXACTLY (a piecewise-linear function re-sampled at a superset
+# of its knots is the same function), so all S scales stack along the C
+# dimension into ONE (S*C, R_max) table sharing ONE tent operand per axis:
+# full MXU width, one tent generation instead of S, and the coarse scales'
+# separate passes disappear. Gradients flow back through the (fixed,
+# sparse) upsample matrix: d coarse = d fine @ U. Selected by
+# ``cp_mlp_apply(..., stacked=True)`` (CPEncoding config `stack_scales`);
+# requires nested resolutions, e.g. (129, 2049) instead of (128, 2048).
+
+
+def stackable(cp_spec: CPSpec) -> bool:
+    rmax = max(cp_spec.resolutions)
+    return all((rmax - 1) % (r - 1) == 0 for r in cp_spec.resolutions)
+
+
+def _upsample_matrix(r_coarse: int, r_fine: int):
+    """(r_fine, r_coarse) f32: exact p.l. interpolation of coarse knots at
+    fine knot positions (nested grids => weights are exact k-ths)."""
+    import numpy as np
+
+    k = (r_fine - 1) // (r_coarse - 1)
+    u = np.zeros((r_fine, r_coarse), np.float32)
+    for i in range(r_fine):
+        j, m = divmod(i, k)
+        if m == 0:
+            u[i, j] = 1.0
+        else:
+            u[i, j] = 1.0 - m / k
+            u[i, j + 1] = m / k
+    return jnp.asarray(u)
+
+
+def _stack_lines_fine(cp_params, cp_spec, rpad):
+    """(3, S*C, rpad) bf16: all scales' lines on the finest grid."""
+    rmax = max(cp_spec.resolutions)
+    per_ax = []
+    for ax in range(3):
+        rows = []
+        for s, r in enumerate(cp_spec.resolutions):
+            line = cp_params[f"line_{s}_{ax}"]  # (R_s, C)
+            if r != rmax:
+                line = _upsample_matrix(r, rmax) @ line
+            rows.append(line.T)  # (C, rmax)
+        per_ax.append(jnp.concatenate(rows, axis=0))  # (S*C, rmax)
+    stack = jnp.stack(per_ax)  # (3, S*C, rmax)
+    if rpad > rmax:
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, rpad - rmax)))
+    return stack.astype(jnp.bfloat16)
+
+
+def _fwd_kernel_stacked(rmax, n_hidden, *refs):
+    lines_ref, basis_ref, ws_ref, bs_ref, u_ref, out_ref, v_ref, h_ref = refs
+    bn = u_ref.shape[1]
+    prod = None
+    for ax in range(3):
+        _, p = _axis_p(rmax, u_ref, ax)
+        v = jax.lax.dot_general(
+            lines_ref[ax], _tent(lines_ref.shape[2], p, bn),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S*C, BN)
+        v_ref[ax] = v.astype(jnp.bfloat16)
+        prod = v if prod is None else prod * v
+    enc = jax.lax.dot_general(
+        basis_ref[...], prod.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = kernel_mlp_fwd(
+        ws_ref, bs_ref, enc, n_hidden, h_ref, out_ref.shape[0]
+    )
+
+
+def _bwd_kernel_stacked(rmax, n_hidden, *refs):
+    (basis_ref, ws_ref, u_ref, v_ref, h_ref, dout_ref,
+     dbasis_ref, dws_ref, dbs_ref, dlines_ref) = refs
+    bn = u_ref.shape[1]
+    acc = make_acc(pl.program_id(0))
+    v = v_ref[...].astype(jnp.float32)  # (3, S*C, BN)
+    prod_all = v[0] * v[1] * v[2]
+    enc = jax.lax.dot_general(
+        basis_ref[...], prod_all.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_enc = kernel_mlp_bwd(
+        ws_ref, h_ref, enc, dout_ref[...], n_hidden, acc, dws_ref, dbs_ref
+    )
+    acc(
+        dbasis_ref,
+        jax.lax.dot_general(
+            d_enc.astype(jnp.bfloat16), prod_all.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+    )
+    d_prod = jax.lax.dot_general(
+        basis_ref[...], d_enc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S*C, BN)
+    others = (v[1] * v[2], v[0] * v[2], v[0] * v[1])
+    for ax in range(3):
+        _, p = _axis_p(rmax, u_ref, ax)
+        d_v = d_prod * others[ax]
+        contrib = jax.lax.dot_general(
+            d_v.astype(jnp.bfloat16), _tent(dlines_ref.shape[2], p, bn),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S*C, rpad)
+        acc(dlines_ref, contrib, idx=(ax,))
+
+
+def _fwd_impl_stacked(cp_params, mlp_params, x, cp_spec, mlp_spec):
+    batch_shape = x.shape[:-1]
+    xf = jax.lax.stop_gradient(x).reshape(-1, 3)
+    c = cp_spec.n_components
+    s_count = len(cp_spec.resolutions)
+    e = cp_spec.n_output_dims
+    f = cp_spec.n_features
+    rmax = max(cp_spec.resolutions)
+    rpad = -(-rmax // 8) * 8
+    wmax = mlp_wmax(mlp_spec)
+    n_hidden = mlp_spec.n_hidden_layers
+    d_out = mlp_spec.dim_out
+    bn = _block_n(rmax)
+
+    u3p, n = _pad_n(xf.astype(jnp.float32).T, bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+
+    lines = _stack_lines_fine(cp_params, cp_spec, rpad)
+    basis = jnp.zeros((e, s_count * c), jnp.float32)
+    for s in range(s_count):
+        basis = basis.at[s * f : (s + 1) * f, s * c : (s + 1) * c].set(
+            cp_params[f"basis_{s}"].T
+        )
+    basis = basis.astype(jnp.bfloat16)
+    ws, bs = pack_mlp(mlp_params, wmax)
+    n_wrows = ws.shape[0]
+    n_layers = n_hidden + 1
+
+    out, vsave, hsave = pl.pallas_call(
+        functools.partial(_fwd_kernel_stacked, rmax, n_hidden),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, s_count * c, rpad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((d_out, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, s_count * c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((max(n_hidden, 1), mlp_spec.n_neurons, bn),
+                         lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_out, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_count * c, npad), jnp.bfloat16),
+            jax.ShapeDtypeStruct(
+                (max(n_hidden, 1), mlp_spec.n_neurons, npad), jnp.bfloat16
+            ),
+        ],
+        interpret=_interpret_default(),
+    )(lines, basis, ws, bs, u3p)
+    out = out[:, :n].T.reshape(*batch_shape, d_out)
+    return out, (u3p, n, vsave, hsave)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def cp_mlp_apply_stacked(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
+    """Stacked-scales fused density eval; requires ``stackable(cp_spec)``.
+    Same contract as ``cp_mlp_apply`` (x gets a zero cotangent)."""
+    out, _ = _fwd_impl_stacked(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    return out
+
+
+def _cp_mlp_stacked_fwd(cp_params, mlp_params, x, cp_spec, mlp_spec):
+    out, (u3p, n, vsave, hsave) = _fwd_impl_stacked(
+        cp_params, mlp_params, x, cp_spec, mlp_spec
+    )
+    return out, (cp_params, mlp_params, u3p, n, vsave, hsave, x)
+
+
+def _cp_mlp_stacked_bwd(cp_spec, mlp_spec, saved, dout):
+    cp_params, mlp_params, u3p, n, vsave, hsave, x_saved = saved
+    c = cp_spec.n_components
+    s_count = len(cp_spec.resolutions)
+    e = cp_spec.n_output_dims
+    f = cp_spec.n_features
+    rmax = max(cp_spec.resolutions)
+    rpad = -(-rmax // 8) * 8
+    wmax = mlp_wmax(mlp_spec)
+    n_hidden = mlp_spec.n_hidden_layers
+    d_out = mlp_spec.dim_out
+    bn = _block_n(rmax)
+    npad = u3p.shape[1]
+    nb = npad // bn
+
+    dp = jnp.pad(
+        dout.reshape(-1, d_out).astype(jnp.float32).T, ((0, 0), (0, npad - n))
+    )
+    basis = jnp.zeros((e, s_count * c), jnp.float32)
+    for s in range(s_count):
+        basis = basis.at[s * f : (s + 1) * f, s * c : (s + 1) * c].set(
+            cp_params[f"basis_{s}"].T
+        )
+    basis = basis.astype(jnp.bfloat16)
+    ws, _ = pack_mlp(mlp_params, wmax)
+    n_wrows = ws.shape[0]
+    n_layers = n_hidden + 1
+
+    dbasis, dws, dbs, dlines = pl.pallas_call(
+        functools.partial(_bwd_kernel_stacked, rmax, n_hidden),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, s_count * c, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((max(n_hidden, 1), mlp_spec.n_neurons, bn),
+                         lambda i: (0, 0, i)),
+            pl.BlockSpec((d_out, bn), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((e, s_count * c), lambda i: (0, 0)),
+            pl.BlockSpec((n_wrows, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((n_layers, wmax), lambda i: (0, 0)),
+            pl.BlockSpec((3, s_count * c, rpad), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, s_count * c), jnp.float32),
+            jax.ShapeDtypeStruct((n_wrows, wmax), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, wmax), jnp.float32),
+            jax.ShapeDtypeStruct((3, s_count * c, rpad), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(basis, ws, u3p, vsave, hsave, dp)
+
+    d_cp = {}
+    for s, r in enumerate(cp_spec.resolutions):
+        for ax in range(3):
+            dl_fine = dlines[ax, s * c : (s + 1) * c, :rmax]  # (C, rmax)
+            if r != rmax:
+                dl = (dl_fine @ _upsample_matrix(r, rmax)).T  # (R_s, C)
+            else:
+                dl = dl_fine.T
+            d_cp[f"line_{s}_{ax}"] = dl
+        d_cp[f"basis_{s}"] = dbasis[
+            s * f : (s + 1) * f, s * c : (s + 1) * c
+        ].T
+    d_mlp = unpack_mlp_grads(dws, dbs, mlp_params)
+    return d_cp, d_mlp, jnp.zeros_like(x_saved)
+
+
+cp_mlp_apply_stacked.defvjp(_cp_mlp_stacked_fwd, _cp_mlp_stacked_bwd)

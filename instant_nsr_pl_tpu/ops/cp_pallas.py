@@ -75,8 +75,15 @@ def _block_n(res: int) -> int:
 
 
 def _supported(res: int, c: int) -> bool:
-    # tile-aligned table dims; anything else falls back to the XLA path
-    return res % 8 == 0 and c % 8 == 0
+    # feature dim must tile; any resolution works (tables are zero-padded
+    # to a multiple of 8 rows host-side — the tent/diffhot operands are
+    # provably zero on rows >= res since p <= res-1, so padded rows never
+    # contribute and never receive gradient)
+    return c % 8 == 0
+
+
+def _rpad(res: int) -> int:
+    return -(-res // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -126,9 +133,10 @@ def _fwd_kernel(res, c, lines_ref, u_ref, prod_ref, v_ref):
     # read-modify-write prod revisits, 3x fewer grid steps.
     bn = u_ref.shape[1]
     prod = None
+    rows = lines_ref.shape[2]
     for ax in range(3):
         _, p = _axis_p(res, u_ref, ax)
-        w = _tent(res, p, bn)
+        w = _tent(rows, p, bn)
         v = jax.lax.dot_general(
             lines_ref[ax], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -153,7 +161,8 @@ def _bwd_kernel(res, c, lines_ref, u_ref, v_ref, dp_ref, dl_ref, du_ref):
         # d u: gd recomputed from the resident table via the exact
         # diff-hot operand (one C-row matmul)
         gd = jax.lax.dot_general(
-            lines_ref[ax], _diffhot(res, p, bn), (((1,), (0,)), ((), ())),
+            lines_ref[ax], _diffhot(lines_ref.shape[2], p, bn),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (C, BN)
         du_ref[pl.ds(ax, 1), :] = (
@@ -165,7 +174,7 @@ def _bwd_kernel(res, c, lines_ref, u_ref, v_ref, dp_ref, dl_ref, du_ref):
         # d L, accumulated in a VMEM-resident f32 block across the
         # sample grid (revisited-output pattern)
         contrib = jax.lax.dot_general(
-            d_v.astype(jnp.bfloat16), _tent(res, p, bn),
+            d_v.astype(jnp.bfloat16), _tent(dl_ref.shape[2], p, bn),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (C, R)
@@ -190,8 +199,14 @@ def _interpret_default() -> bool:
 
 
 def _lines_stack(lx, ly, lz):
-    """(3, C, R) bf16 table stack (feature-major rows feed the MXU)."""
-    return jnp.stack([lx.T, ly.T, lz.T]).astype(jnp.bfloat16)
+    """(3, C, rpad(R)) bf16 table stack (feature-major rows feed the MXU);
+    rows beyond R are zero padding (see _supported)."""
+    stack = jnp.stack([lx.T, ly.T, lz.T])
+    res = stack.shape[2]
+    pad = _rpad(res) - res
+    if pad:
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, pad)))
+    return stack.astype(jnp.bfloat16)
 
 
 def _pad_n(a, bn, fill):
@@ -228,7 +243,7 @@ def _cp_product_fwd_impl(lx, ly, lz, u3, res):
         functools.partial(_fwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
         ],
         out_specs=[
@@ -263,23 +278,25 @@ def _cp_product_bwd(res, saved, dprod):
         functools.partial(_bwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
             pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
             pl.BlockSpec((c, bn), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, c, res), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, _rpad(res)), jnp.float32),
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
         ],
         interpret=_interpret_default(),
     )(lines, u3p, vsave, dp)
 
-    return dl[0].T, dl[1].T, dl[2].T, du[:, :n]
+    return (
+        dl[0, :, :res].T, dl[1, :, :res].T, dl[2, :, :res].T, du[:, :n]
+    )
 
 
 cp_product.defvjp(_cp_product_fwd, _cp_product_bwd)
@@ -317,12 +334,13 @@ def _jac_fwd_kernel(res, c, lines_ref, u_ref, prod_ref, jac_ref, v_ref, gd_ref):
     vs, gs = [], []
     for ax in range(3):
         u_ax, p = _axis_p(res, u_ref, ax)
+        rows = lines_ref.shape[2]
         v = jax.lax.dot_general(
-            lines_ref[ax], _tent(res, p, bn), (((1,), (0,)), ((), ())),
+            lines_ref[ax], _tent(rows, p, bn), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         gd = jax.lax.dot_general(
-            lines_ref[ax], _diffhot(res, p, bn), (((1,), (0,)), ((), ())),
+            lines_ref[ax], _diffhot(rows, p, bn), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         v_ref[ax] = v.astype(jnp.bfloat16)
@@ -367,14 +385,14 @@ def _jac_bwd_kernel(
             d_v * gd[ax], axis=0, keepdims=True
         ) * ss[ax]
         contrib = jax.lax.dot_general(
-            d_v.astype(jnp.bfloat16), _tent(res, ps[ax], bn),
+            d_v.astype(jnp.bfloat16), _tent(dl_ref.shape[2], ps[ax], bn),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            d_gd.astype(jnp.bfloat16), _diffhot(res, ps[ax], bn),
+            d_gd.astype(jnp.bfloat16), _diffhot(dl_ref.shape[2], ps[ax], bn),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (C, R)
+        )  # (C, rpad)
 
         @pl.when(i == 0)
         def _():
@@ -407,7 +425,7 @@ def _cp_product_jac_fwd_impl(lx, ly, lz, u3, res):
         functools.partial(_jac_fwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
         ],
         out_specs=[
@@ -447,7 +465,7 @@ def _cp_product_jac_bwd(res, saved, cts):
         functools.partial(_jac_bwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
             pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
             pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
@@ -455,17 +473,19 @@ def _cp_product_jac_bwd(res, saved, cts):
             pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, c, res), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, _rpad(res)), jnp.float32),
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
         ],
         interpret=_interpret_default(),
     )(lines, u3p, vsave, gdsave, dp, dj)
 
-    return dl[0].T, dl[1].T, dl[2].T, du[:, :n]
+    return (
+        dl[0, :, :res].T, dl[1, :, :res].T, dl[2, :, :res].T, du[:, :n]
+    )
 
 
 cp_product_jac.defvjp(_cp_product_jac_fwd, _cp_product_jac_bwd)
@@ -487,12 +507,13 @@ def _jacb_fwd_kernel(res, c, lines_ref, bt_ref, u_ref,
     vs, gs = [], []
     for ax in range(3):
         u_ax, p = _axis_p(res, u_ref, ax)
+        rows = lines_ref.shape[2]
         v = jax.lax.dot_general(
-            lines_ref[ax], _tent(res, p, bn), (((1,), (0,)), ((), ())),
+            lines_ref[ax], _tent(rows, p, bn), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         gd = jax.lax.dot_general(
-            lines_ref[ax], _diffhot(res, p, bn), (((1,), (0,)), ((), ())),
+            lines_ref[ax], _diffhot(rows, p, bn), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         v_ref[ax] = v.astype(jnp.bfloat16)
@@ -572,11 +593,11 @@ def _jacb_bwd_kernel(res, c, lines_ref, bt_ref, u_ref, v_ref, gd_ref,
         ) * ss[ax]
         _, p = _axis_p(res, u_ref, ax)
         contrib = jax.lax.dot_general(
-            d_v.astype(jnp.bfloat16), _tent(res, p, bn),
+            d_v.astype(jnp.bfloat16), _tent(dl_ref.shape[2], p, bn),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            d_gd.astype(jnp.bfloat16), _diffhot(res, p, bn),
+            d_gd.astype(jnp.bfloat16), _diffhot(dl_ref.shape[2], p, bn),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -613,7 +634,7 @@ def _cp_jacb_fwd_impl(lx, ly, lz, basis, u3, res):
         functools.partial(_jacb_fwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((f, c), lambda i: (0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
         ],
@@ -656,7 +677,7 @@ def _cp_jacb_bwd(res, saved, cts):
         functools.partial(_jacb_bwd_kernel, res, c),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((f, c), lambda i: (0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
             pl.BlockSpec((3, c, bn), lambda i: (0, 0, i)),
@@ -665,18 +686,21 @@ def _cp_jacb_bwd(res, saved, cts):
             pl.BlockSpec((3, f, bn), lambda i: (0, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((3, c, res), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, c, _rpad(res)), lambda i: (0, 0, 0)),
             pl.BlockSpec((3, bn), lambda i: (0, i)),
             pl.BlockSpec((f, c), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, c, res), jnp.float32),
+            jax.ShapeDtypeStruct((3, c, _rpad(res)), jnp.float32),
             jax.ShapeDtypeStruct((3, npad), jnp.float32),
             jax.ShapeDtypeStruct((f, c), jnp.float32),
         ],
         interpret=_interpret_default(),
     )(lines, bt, u3p, vsave, gdsave, de, dj)
-    return dl[0].T, dl[1].T, dl[2].T, dbt.T, du[:, :n]
+    return (
+        dl[0, :, :res].T, dl[1, :, :res].T, dl[2, :, :res].T,
+        dbt.T, du[:, :n],
+    )
 
 
 cp_product_jac_basis.defvjp(_cp_jacb_fwd, _cp_jacb_bwd)

@@ -117,9 +117,44 @@ def test_fusable_gates():
     assert not fusable(
         dataclasses.replace(cp_spec, n_features=0), mlp_spec
     )
-    assert not fusable(
+    # arbitrary resolutions ARE supported (tables zero-pad to 8 rows)
+    assert fusable(
         dataclasses.replace(cp_spec, resolutions=(30, 64)), mlp_spec
     )
+
+
+def test_odd_resolution_parity():
+    """Non-multiple-of-8 resolutions run via zero-padded tables; parity
+    vs the reference twin must hold exactly as for aligned ones."""
+    cp_spec = CPSpec(n_components=16, resolutions=(17, 50), n_features=8)
+    mlp_spec = MLPSpec(
+        dim_in=cp_spec.n_output_dims, dim_out=16, n_neurons=32,
+        n_hidden_layers=1, activation="ReLU", precision="bf16",
+    )
+    assert fusable(cp_spec, mlp_spec)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    cp_params = cp_init(k1, cp_spec)
+    mlp_params = mlp_init(k2, mlp_spec)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (300, 3))
+    ref = cp_mlp_reference(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    got = cp_mlp_apply(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    scale = max(float(jnp.abs(ref).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2 * scale)
+
+    ct = jax.random.normal(jax.random.PRNGKey(6), (300, 16))
+    g_ref = jax.grad(
+        lambda cp: jnp.sum(cp_mlp_reference(cp, mlp_params, x, cp_spec, mlp_spec) * ct)
+    )(cp_params)
+    g_got = jax.grad(
+        lambda cp: jnp.sum(cp_mlp_apply(cp, mlp_params, x, cp_spec, mlp_spec) * ct)
+    )(cp_params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_got)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=2.5e-2 * scale)
 
 
 def test_multiblock_accumulation(monkeypatch):
@@ -318,3 +353,123 @@ def test_fused_kernels_inside_sharded_dp_step():
             first = float(metrics["train/loss"])
     assert np.isfinite(float(metrics["train/loss"]))
     assert float(metrics["train/loss"]) < first
+
+
+def _setup_nested(n=515, n_hidden=1, seed=0):
+    """Nested-resolution spec for the stacked-scales kernel: 65 = 8*8+1,
+    (65-1) divides (257-1)."""
+    from instant_nsr_pl_tpu.ops.cp_mlp_pallas import stackable
+
+    cp_spec = CPSpec(n_components=16, resolutions=(17, 65), n_features=8)
+    assert stackable(cp_spec)
+    mlp_spec = MLPSpec(
+        dim_in=cp_spec.n_output_dims, dim_out=16, n_neurons=32,
+        n_hidden_layers=n_hidden, activation="ReLU", precision="bf16",
+    )
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    cp_params = cp_init(k1, cp_spec)
+    mlp_params = mlp_init(k2, mlp_spec)
+    mlp_params = [
+        {"w": l["w"], "b": 0.1 * jax.random.normal(k, l["b"].shape)}
+        for l, k in zip(mlp_params, jax.random.split(k3, len(mlp_params)))
+    ]
+    x = jax.random.uniform(
+        jax.random.PRNGKey(seed + 7), (n, 3), minval=-0.1, maxval=1.1
+    )
+    return cp_spec, mlp_spec, cp_params, mlp_params, x
+
+
+def test_stacked_forward_matches_reference():
+    from instant_nsr_pl_tpu.ops.cp_mlp_pallas import cp_mlp_apply_stacked
+
+    cp_spec, mlp_spec, cp_params, mlp_params, x = _setup_nested()
+    ref = cp_mlp_reference(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    got = cp_mlp_apply_stacked(cp_params, mlp_params, x, cp_spec, mlp_spec)
+    scale = max(float(jnp.abs(ref).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2 * scale)
+
+
+def test_stacked_gradients_match_reference(monkeypatch):
+    """Grad parity incl. the upsample-adjoint line-table gradients, with a
+    small block so the accumulators run multi-block."""
+    import instant_nsr_pl_tpu.ops.cp_mlp_pallas as m
+
+    monkeypatch.setattr(m, "_block_n", lambda r: 128)
+    cp_spec, mlp_spec, cp_params, mlp_params, x = _setup_nested(n=515)
+    ct = jax.random.normal(jax.random.PRNGKey(3), (515, mlp_spec.dim_out))
+
+    def loss(fn):
+        def f(cp_p, mlp_p):
+            return jnp.sum(fn(cp_p, mlp_p, x, cp_spec, mlp_spec) * ct)
+
+        return f
+
+    g_ref = jax.grad(loss(cp_mlp_reference), argnums=(0, 1))(cp_params, mlp_params)
+    g_got = jax.grad(loss(m.cp_mlp_apply_stacked), argnums=(0, 1))(
+        cp_params, mlp_params
+    )
+    flat_ref, tdef_ref = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_got, tdef_got = jax.tree_util.tree_flatten_with_path(g_got)
+    assert tdef_ref == tdef_got
+    for (path, a), (_, b) in zip(flat_ref, flat_got):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, path
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(b - a).max() <= 1e-1 * scale, path
+        assert np.linalg.norm(b - a) <= 4e-2 * (np.linalg.norm(a) + 1e-6), path
+
+
+def test_stacked_routing_via_config():
+    from instant_nsr_pl_tpu.config import config_from_dict
+    from instant_nsr_pl_tpu.registry import models
+    import instant_nsr_pl_tpu.models  # noqa: F401
+
+    cfg = config_from_dict(
+        {
+            "name": "volume-density",
+            "radius": 1.0,
+            "feature_dim": 16,
+            "density_activation": "trunc_exp",
+            "density_bias": -1,
+            "isosurface": {"resolution": 16, "chunk": 8192},
+            "xyz_encoding_config": {
+                "otype": "CP",
+                "n_components": 16,
+                "resolutions": [17, 65],
+                "n_features": 8,
+                "grad_mode": "fast",
+                "stack_scales": True,
+            },
+            "mlp_network_config": {
+                "otype": "FullyFusedMLP",
+                "activation": "ReLU",
+                "output_activation": "none",
+                "n_neurons": 32,
+                "n_hidden_layers": 1,
+            },
+        }
+    )
+    model = models.make("volume-density", cfg)
+    assert model.encoding_with_network.fused
+    assert model.encoding_with_network.encoding.encoding.stack_scales
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3), minval=-1, maxval=1)
+    density, feat = model.apply(params, x)
+    assert np.isfinite(np.asarray(density)).all()
+
+    # non-nested resolutions must be rejected loudly
+    import pytest as _pytest
+
+    bad = config_from_dict(
+        {
+            "otype": "CP",
+            "n_components": 16,
+            "resolutions": [16, 64],
+            "n_features": 8,
+            "stack_scales": True,
+        }
+    )
+    from instant_nsr_pl_tpu.models.network_utils import CPEncoding
+
+    with _pytest.raises(ValueError, match="nested"):
+        CPEncoding(3, bad)
