@@ -62,6 +62,12 @@ _ENCODINGS = {
         "otype": "CP", "n_components": 128,
         "resolutions": [64, 512, 4096], "n_features": 16,
     },
+    "cp_stacked": {  # nested resolutions -> stacked-scales fused kernel:
+        # all scales in ONE full-MXU-width matmul per axis (cp_mlp_pallas)
+        "otype": "CP", "n_components": 64,
+        "resolutions": [129, 2049], "n_features": 16,
+        "stack_scales": True,
+    },
     "hash": {
         "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
         "log2_hashmap_size": 19, "base_resolution": 16,
