@@ -223,7 +223,10 @@ class CPEncoding:
         from instant_nsr_pl_tpu.ops.cp import cp_encode_with_jac
 
         impl = "pallas" if self.grad_mode == "fast" else "xla"
-        return cp_encode_with_jac(params["cp"], x, self.spec, impl=impl)
+        return cp_encode_with_jac(
+            params["cp"], x, self.spec, impl=impl,
+            stacked=self.stack_scales and impl == "pallas",
+        )
 
 
 class SphericalHarmonicsEncoding:

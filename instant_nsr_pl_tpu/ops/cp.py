@@ -169,7 +169,8 @@ def cp_encode(params, x, spec: CPSpec, impl: str = "xla"):
     return out.reshape(*batch_shape, spec.n_output_dims).astype(x.dtype)
 
 
-def cp_encode_with_jac(params, x, spec: CPSpec, impl: str = "pallas"):
+def cp_encode_with_jac(params, x, spec: CPSpec, impl: str = "pallas",
+                       stacked: bool = False):
     """(encoded (N, E), d encoded / d x (3, N, E)) from ONE custom-VJP op
     per scale — the encoding half of the NeuS analytic-gradient contract
     (see models/geometry.py: the SDF gradient is chained through a plain
@@ -182,6 +183,21 @@ def cp_encode_with_jac(params, x, spec: CPSpec, impl: str = "pallas"):
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, 3)
     n = xf.shape[0]
+    if impl == "pallas" and stacked:
+        from instant_nsr_pl_tpu.ops.cp_pallas import (
+            cp_jac_basis_stacked,
+            stackable,
+        )
+
+        assert spec.n_features > 0 and stackable(spec), spec
+        u3 = xf.astype(jnp.float32).T
+        enc, jac = cp_jac_basis_stacked(params, u3, spec)  # (E, N), (3, E, N)
+        return (
+            enc.T.reshape(*batch_shape, spec.n_output_dims).astype(x.dtype),
+            jac.transpose(0, 2, 1)
+            .reshape(3, *batch_shape, spec.n_output_dims)
+            .astype(x.dtype),
+        )
     if impl == "pallas":
         from instant_nsr_pl_tpu.ops.cp_pallas import (
             cp_product_jac,

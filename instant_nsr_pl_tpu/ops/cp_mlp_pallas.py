@@ -55,8 +55,11 @@ from instant_nsr_pl_tpu.ops.cp_pallas import (
     _lines_stack,
     _pad_n,
     _rpad,
+    _stack_lines_fine,
     _supported,
     _tent,
+    _upsample_matrix,
+    stackable,
 )
 from instant_nsr_pl_tpu.ops.mlp_pallas_common import (
     kernel_mlp_bwd,
@@ -434,46 +437,6 @@ def cp_mlp_reference(cp_params, mlp_params, x, cp_spec: CPSpec, mlp_spec):
 # sparse) upsample matrix: d coarse = d fine @ U. Selected by
 # ``cp_mlp_apply(..., stacked=True)`` (CPEncoding config `stack_scales`);
 # requires nested resolutions, e.g. (129, 2049) instead of (128, 2048).
-
-
-def stackable(cp_spec: CPSpec) -> bool:
-    rmax = max(cp_spec.resolutions)
-    return all((rmax - 1) % (r - 1) == 0 for r in cp_spec.resolutions)
-
-
-def _upsample_matrix(r_coarse: int, r_fine: int):
-    """(r_fine, r_coarse) f32: exact p.l. interpolation of coarse knots at
-    fine knot positions (nested grids => weights are exact k-ths)."""
-    import numpy as np
-
-    k = (r_fine - 1) // (r_coarse - 1)
-    u = np.zeros((r_fine, r_coarse), np.float32)
-    for i in range(r_fine):
-        j, m = divmod(i, k)
-        if m == 0:
-            u[i, j] = 1.0
-        else:
-            u[i, j] = 1.0 - m / k
-            u[i, j + 1] = m / k
-    return jnp.asarray(u)
-
-
-def _stack_lines_fine(cp_params, cp_spec, rpad):
-    """(3, S*C, rpad) bf16: all scales' lines on the finest grid."""
-    rmax = max(cp_spec.resolutions)
-    per_ax = []
-    for ax in range(3):
-        rows = []
-        for s, r in enumerate(cp_spec.resolutions):
-            line = cp_params[f"line_{s}_{ax}"]  # (R_s, C)
-            if r != rmax:
-                line = _upsample_matrix(r, rmax) @ line
-            rows.append(line.T)  # (C, rmax)
-        per_ax.append(jnp.concatenate(rows, axis=0))  # (S*C, rmax)
-    stack = jnp.stack(per_ax)  # (3, S*C, rmax)
-    if rpad > rmax:
-        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, rpad - rmax)))
-    return stack.astype(jnp.bfloat16)
 
 
 def _fwd_kernel_stacked(rmax, n_hidden, *refs):

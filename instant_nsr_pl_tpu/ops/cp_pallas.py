@@ -704,3 +704,290 @@ def _cp_jacb_bwd(res, saved, cts):
 
 
 cp_product_jac_basis.defvjp(_cp_jacb_fwd, _cp_jacb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# stacked-scales helpers (shared by cp_mlp_pallas and the jac op below)
+# ---------------------------------------------------------------------------
+
+
+def stackable(cp_spec) -> bool:
+    rmax = max(cp_spec.resolutions)
+    return all((rmax - 1) % (r - 1) == 0 for r in cp_spec.resolutions)
+
+
+def _upsample_matrix(r_coarse: int, r_fine: int):
+    """(r_fine, r_coarse) f32: exact p.l. interpolation of coarse knots at
+    fine knot positions (nested grids => weights are exact k-ths)."""
+    import numpy as np
+
+    k = (r_fine - 1) // (r_coarse - 1)
+    u = np.zeros((r_fine, r_coarse), np.float32)
+    for i in range(r_fine):
+        j, m = divmod(i, k)
+        if m == 0:
+            u[i, j] = 1.0
+        else:
+            u[i, j] = 1.0 - m / k
+            u[i, j + 1] = m / k
+    return jnp.asarray(u)
+
+
+def _stack_lines_fine(cp_params, cp_spec, rpad):
+    """(3, S*C, rpad) bf16: all scales' lines on the finest grid."""
+    rmax = max(cp_spec.resolutions)
+    per_ax = []
+    for ax in range(3):
+        rows = []
+        for s, r in enumerate(cp_spec.resolutions):
+            line = cp_params[f"line_{s}_{ax}"]  # (R_s, C)
+            if r != rmax:
+                line = _upsample_matrix(r, rmax) @ line
+            rows.append(line.T)  # (C, rmax)
+        per_ax.append(jnp.concatenate(rows, axis=0))  # (S*C, rmax)
+    stack = jnp.stack(per_ax)  # (3, S*C, rmax)
+    if rpad > rmax:
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, rpad - rmax)))
+    return stack.astype(jnp.bfloat16)
+
+
+
+
+# ---------------------------------------------------------------------------
+# stacked-scales product + Jacobian with fused block-diagonal basis — the
+# NeuS analytic path twin of cp_mlp_pallas.cp_mlp_apply_stacked: all
+# scales on the finest grid, one full-width matmul pair (tent + diffhot)
+# per axis, projection through the block-diagonal (E, S*C) basis.
+# ---------------------------------------------------------------------------
+
+
+def _jacs_fwd_kernel(rmax, c, lines_ref, bt_ref, u_ref,
+                     enc_ref, jac_ref, v_ref, gd_ref):
+    bn = u_ref.shape[1]
+    rows = lines_ref.shape[2]
+    vs, gs = [], []
+    for ax in range(3):
+        u_ax, p = _axis_p(rmax, u_ref, ax)
+        v = jax.lax.dot_general(
+            lines_ref[ax], _tent(rows, p, bn), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S*C, BN)
+        gd = jax.lax.dot_general(
+            lines_ref[ax], _diffhot(rows, p, bn), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v_ref[ax] = v.astype(jnp.bfloat16)
+        gd_ref[ax] = gd.astype(jnp.bfloat16)
+        vs.append(v)
+        gs.append(gd * ((rmax - 1) * _inrange_half(u_ax)))
+
+    def proj(x):
+        return jax.lax.dot_general(
+            bt_ref[...], x.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    enc_ref[...] = proj(vs[0] * vs[1] * vs[2])
+    jac_ref[0] = proj(gs[0] * (vs[1] * vs[2]))
+    jac_ref[1] = proj(gs[1] * (vs[0] * vs[2]))
+    jac_ref[2] = proj(gs[2] * (vs[0] * vs[1]))
+
+
+def _jacs_bwd_kernel(rmax, c, lines_ref, bt_ref, u_ref, v_ref, gd_ref,
+                     de_ref, dj_ref, dl_ref, du_ref, dbt_ref):
+    i = pl.program_id(0)
+    bn = u_ref.shape[1]
+    rows = dl_ref.shape[2]
+    v = [v_ref[ax].astype(jnp.float32) for ax in range(3)]
+    gd = [gd_ref[ax].astype(jnp.float32) for ax in range(3)]
+    ss = []
+    for ax in range(3):
+        u_ax, _ = _axis_p(rmax, u_ref, ax)
+        ss.append((rmax - 1) * _inrange_half(u_ax))
+    others = (v[1] * v[2], v[0] * v[2], v[0] * v[1])
+    prod = v[0] * others[0]
+    jpre = [gd[ax] * ss[ax] * others[ax] for ax in range(3)]
+
+    def unproj(x):
+        return jax.lax.dot_general(
+            bt_ref[...], x.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def outerT(a, b):
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    de = de_ref[...]
+    dbt = outerT(de, prod)
+    dp = unproj(de)
+    djs = []
+    for ax in range(3):
+        dj_ax = dj_ref[ax]
+        dbt = dbt + outerT(dj_ax, jpre[ax])
+        djs.append(unproj(dj_ax))
+
+    @pl.when(i == 0)
+    def _():
+        dbt_ref[...] = dbt
+
+    @pl.when(i > 0)
+    def _():
+        dbt_ref[...] = dbt_ref[...] + dbt
+
+    gs = [djs[ax] * gd[ax] * ss[ax] for ax in range(3)]
+    for ax in range(3):
+        b1, b2 = [b for b in range(3) if b != ax]
+        d_v = dp * others[ax] + gs[b1] * v[b2] + gs[b2] * v[b1]
+        d_gd = djs[ax] * ss[ax] * others[ax]
+        du_ref[pl.ds(ax, 1), :] = jnp.sum(
+            d_v * gd[ax], axis=0, keepdims=True
+        ) * ss[ax]
+        _, p = _axis_p(rmax, u_ref, ax)
+        contrib = jax.lax.dot_general(
+            d_v.astype(jnp.bfloat16), _tent(rows, p, bn),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            d_gd.astype(jnp.bfloat16), _diffhot(rows, p, bn),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dl_ref[ax] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            dl_ref[ax] = dl_ref[ax] + contrib
+
+
+def _blockdiag_bt(params, spec):
+    """(E, S*C) bf16 block-diagonal basis (scale s's B^T in rows/cols s)."""
+    c, f = spec.n_components, spec.n_features
+    e = spec.n_output_dims
+    s_count = len(spec.resolutions)
+    bt = jnp.zeros((e, s_count * c), jnp.float32)
+    for s in range(s_count):
+        bt = bt.at[s * f : (s + 1) * f, s * c : (s + 1) * c].set(
+            params[f"basis_{s}"].T
+        )
+    return bt.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cp_jac_basis_stacked(params, u3, spec):
+    """(enc (E, N), jac (3, E, N)) over ALL scales in one kernel pass —
+    requires ``stackable(spec)`` and ``n_features > 0``. Same second-order
+    contract as ``cp_product_jac_basis``."""
+    enc, jac, _, _ = _cp_jacs_fwd_impl(params, u3, spec)
+    return enc, jac
+
+
+def _cp_jacs_fwd_impl(params, u3, spec):
+    c = spec.n_components
+    s_count = len(spec.resolutions)
+    e = spec.n_output_dims
+    rmax = max(spec.resolutions)
+    rpad = _rpad(rmax)
+    bn = _block_n(rmax)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    lines = _stack_lines_fine(params, spec, rpad)
+    bt = _blockdiag_bt(params, spec)
+    sc = s_count * c
+    enc, jac, vsave, gdsave = pl.pallas_call(
+        functools.partial(_jacs_fwd_kernel, rmax, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, sc, rpad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((e, sc), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((e, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, e, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, sc, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, sc, bn), lambda i: (0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, e, npad), jnp.float32),
+            jax.ShapeDtypeStruct((3, sc, npad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((3, sc, npad), jnp.bfloat16),
+        ],
+        interpret=_interpret_default(),
+    )(lines, bt, u3p)
+    return enc[:, :n], jac[:, :, :n], vsave, gdsave
+
+
+def _cp_jacs_fwd(params, u3, spec):
+    enc, jac, vsave, gdsave = _cp_jacs_fwd_impl(params, u3, spec)
+    return (enc, jac), (params, u3, vsave, gdsave)
+
+
+def _cp_jacs_bwd(spec, saved, cts):
+    denc, djac = cts
+    params, u3, vsave, gdsave = saved
+    c = spec.n_components
+    f = spec.n_features
+    s_count = len(spec.resolutions)
+    e = spec.n_output_dims
+    rmax = max(spec.resolutions)
+    rpad = _rpad(rmax)
+    bn = _block_n(rmax)
+    u3p, n = _pad_n(u3.astype(jnp.float32), bn, 0.5)
+    npad = u3p.shape[1]
+    nb = npad // bn
+    de = jnp.pad(denc, ((0, 0), (0, npad - n)))
+    dj = jnp.pad(djac, ((0, 0), (0, 0), (0, npad - n)))
+    lines = _stack_lines_fine(params, spec, rpad)
+    bt = _blockdiag_bt(params, spec)
+    sc = s_count * c
+    dl, du, dbt = pl.pallas_call(
+        functools.partial(_jacs_bwd_kernel, rmax, c),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, sc, rpad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((e, sc), lambda i: (0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, sc, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((3, sc, bn), lambda i: (0, 0, i)),
+            pl.BlockSpec((e, bn), lambda i: (0, i)),
+            pl.BlockSpec((3, e, bn), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, sc, rpad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((3, bn), lambda i: (0, i)),
+            pl.BlockSpec((e, sc), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, sc, rpad), jnp.float32),
+            jax.ShapeDtypeStruct((3, npad), jnp.float32),
+            jax.ShapeDtypeStruct((e, sc), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(lines, bt, u3p, vsave, gdsave, de, dj)
+
+    d_params = {}
+    for s, r in enumerate(spec.resolutions):
+        for ax in range(3):
+            dl_fine = dl[ax, s * c : (s + 1) * c, :rmax]  # (C, rmax)
+            if r != rmax:
+                d_params[f"line_{s}_{ax}"] = (
+                    dl_fine @ _upsample_matrix(r, rmax)
+                ).T
+            else:
+                d_params[f"line_{s}_{ax}"] = dl_fine.T
+        d_params[f"basis_{s}"] = dbt[
+            s * f : (s + 1) * f, s * c : (s + 1) * c
+        ].T
+    return d_params, du[:, :n]
+
+
+cp_jac_basis_stacked.defvjp(_cp_jacs_fwd, _cp_jacs_bwd)

@@ -226,3 +226,69 @@ def test_jac_basis_matches_unfused(lines):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b, a, atol=1.5e-2 * scale)
+
+
+def test_jac_basis_stacked_matches_per_scale():
+    """Stacked-scales jac op == the per-scale jac-basis ops concatenated
+    (nested resolutions => the fine-grid stacking is the same function),
+    values + all gradients."""
+    from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_init, cp_encode_with_jac
+
+    spec = CPSpec(n_components=16, resolutions=(17, 65), n_features=8)
+    params = cp_init(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+
+    enc_s, jac_s = cp_encode_with_jac(params, x, spec, impl="pallas", stacked=True)
+    enc_p, jac_p = cp_encode_with_jac(params, x, spec, impl="pallas", stacked=False)
+    s = max(float(jnp.abs(enc_p).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(enc_s), np.asarray(enc_p), atol=1.5e-2 * s)
+    s = max(float(jnp.abs(jac_p).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(jac_s), np.asarray(jac_p), atol=1.5e-2 * s)
+
+    ct_e = jax.random.normal(jax.random.PRNGKey(2), enc_p.shape)
+    ct_j = jax.random.normal(jax.random.PRNGKey(3), jac_p.shape)
+
+    def loss(stacked):
+        def f(p, xx):
+            e, j = cp_encode_with_jac(p, xx, spec, impl="pallas", stacked=stacked)
+            return jnp.sum(e * ct_e) + jnp.sum(j * ct_j)
+
+        return f
+
+    g_s = jax.grad(loss(True), argnums=(0, 1))(params, x)
+    g_p = jax.grad(loss(False), argnums=(0, 1))(params, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_s)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(b - a).max() <= 6e-2 * scale
+        assert np.linalg.norm(b - a) <= 2.5e-2 * (np.linalg.norm(a) + 1e-6)
+
+
+def test_jac_basis_stacked_through_eikonal_graph():
+    """Second-order contract: the eikonal-style loss (grad-of-jac-output)
+    through the stacked op matches the per-scale path."""
+    from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_init, cp_encode_with_jac
+
+    spec = CPSpec(n_components=16, resolutions=(17, 65), n_features=8)
+    params = cp_init(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (200, 3))
+    w = jax.random.normal(jax.random.PRNGKey(2), (spec.n_output_dims,))
+
+    def eikonal(p, stacked):
+        enc, jac = cp_encode_with_jac(p, x, spec, impl="pallas", stacked=stacked)
+        sdf_grad = jnp.einsum("e,aNe->Na", w, jac)  # linear head
+        return jnp.mean((jnp.linalg.norm(sdf_grad, axis=-1) - 1.0) ** 2) + (
+            enc @ w
+        ).mean()
+
+    g_s = jax.grad(lambda p: eikonal(p, True))(params)
+    g_p = jax.grad(lambda p: eikonal(p, False))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_s)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.linalg.norm(b - a) <= 3e-2 * (np.linalg.norm(a) + 1e-6)

@@ -103,3 +103,35 @@ def test_cp_product_and_jac_lower(setup):
     _lower_ok(
         jax.grad(loss_jb, argnums=(0, 1, 2, 3, 4)), lx, ly, lz, basis, u3
     )
+
+
+def test_stacked_kernels_lower(setup):
+    from instant_nsr_pl_tpu.ops.cp import CPSpec, cp_init
+    from instant_nsr_pl_tpu.ops.cp_mlp_pallas import cp_mlp_apply_stacked
+    from instant_nsr_pl_tpu.ops.mlp import MLPSpec, mlp_init
+
+    spec = CPSpec(64, (129, 2049), 16)
+    mlp_spec = MLPSpec(
+        dim_in=32, dim_out=16, n_neurons=64, n_hidden_layers=1,
+        activation="ReLU", precision="bf16",
+    )
+    k = setup["k"]
+    cp_params = cp_init(k[0], spec)
+    mlp_params = mlp_init(k[1], mlp_spec)
+    x = setup["x"]
+    ct = setup["ct"]
+
+    def loss(cp, ml):
+        return (cp_mlp_apply_stacked(cp, ml, x, spec, mlp_spec) * ct).sum()
+
+    _lower_ok(jax.grad(loss, argnums=(0, 1)), cp_params, mlp_params)
+
+    u3 = x.T
+    ctf = jax.random.normal(k[3], (32, 4096))
+    ctj = jax.random.normal(k[4], (3, 32, 4096))
+
+    def loss_j(cp):
+        e, j = cpp.cp_jac_basis_stacked(cp, u3, spec)
+        return (e * ctf).sum() + (j * ctj).sum()
+
+    _lower_ok(jax.grad(loss_j), cp_params)
