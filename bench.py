@@ -293,17 +293,41 @@ def main():
     )
     args, _ = p.parse_known_args()
 
-    if args.workload == "neus":
-        system = build_neus_system(encoding=args.encoding or "cp")
-    else:
-        system = build_system(encoding=args.encoding or "cp")
-    if args.devices is not None:
-        n = len(jax.devices()) if args.devices == "all" else int(args.devices)
-        if n > 1:
-            from instant_nsr_pl_tpu.parallel import make_mesh
+    def build():
+        if args.workload == "neus":
+            system = build_neus_system(encoding=args.encoding or "cp")
+        else:
+            system = build_system(encoding=args.encoding or "cp")
+        if args.devices is not None:
+            n = len(jax.devices()) if args.devices == "all" else int(args.devices)
+            if n > 1:
+                from instant_nsr_pl_tpu.parallel import make_mesh
 
-            system.configure_parallel(make_mesh(n))
-    state = system.init_state(seed=0)
+                system.configure_parallel(make_mesh(n))
+        return system, system.init_state(seed=0)
+
+    system, state = build()
+    # First dispatch compiles everything. If a fused Pallas path fails at
+    # REAL Mosaic compile time (the CPU lowering tests can't see backend
+    # limits like VMEM pressure), fall back to the composed kernels so an
+    # unattended bench still reports a number instead of crashing.
+    try:
+        state, metrics = system.train_chunk(state, 1)
+        float(metrics["train/loss"])
+    except Exception as e:  # noqa: BLE001 — unattended-run safety net
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(
+            "bench: fused-kernel compile failed; retrying with "
+            "INSR_DISABLE_FUSED=1",
+            file=sys.stderr,
+        )
+        os.environ["INSR_DISABLE_FUSED"] = "1"
+        system, state = build()
+        state, metrics = system.train_chunk(state, 1)
+        float(metrics["train/loss"])
 
     if args.mode == "eval":
         from instant_nsr_pl_tpu.trainer import data_arrays

@@ -359,11 +359,15 @@ class EncodingWithNetwork:
         self.n_output_dims = network.n_output_dims
         self.fused = False
         inner = getattr(encoding, "encoding", None)
+        import os
+
         if (
             isinstance(encoding, CompositeEncoding)
             and not encoding.include_xyz
             and isinstance(inner, CPEncoding)
             and inner.grad_mode == "fast"
+            # escape hatch for unattended runs (bench fallback)
+            and not os.environ.get("INSR_DISABLE_FUSED")
         ):
             from instant_nsr_pl_tpu.ops.cp_mlp_pallas import fusable
 

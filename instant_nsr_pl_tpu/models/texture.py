@@ -54,8 +54,14 @@ class VolumeRadiance:
             and isinstance(inner, SphericalHarmonicsEncoding)
         )
         self._sh_degree = inner.degree if sh_ok else None
+        import os
+
         default_fused = sh_ok and jax.default_backend() == "tpu"
-        self.fused = bool(config.get("fused", default_fused)) and sh_ok
+        self.fused = (
+            bool(config.get("fused", default_fused))
+            and sh_ok
+            and not os.environ.get("INSR_DISABLE_FUSED")
+        )
         if self.fused:
             from instant_nsr_pl_tpu.ops.sh_mlp_pallas import fusable
 
