@@ -185,11 +185,12 @@ class Trainer:
         psnr = float(np.mean(psnrs))
         self._log({"test/psnr": psnr}, step)
         if self.is_main:
-            savers.save_video(
+            savers.save_img_sequence(
                 self.save_dir,
-                f"it{step}-test.mp4",
+                f"it{step}-test",
                 os.path.join(self.save_dir, f"it{step}-test"),
                 r"(\d+)\.png",
+                save_format=self.config.trainer.get("video_format", "mp4"),
                 fps=30,
             )
         self.export(system, state)

@@ -2,9 +2,9 @@
 
 Re-implements the reference's ``SaverMixin`` (utils/mixins.py:16-229) as free
 functions keyed off an explicit ``save_dir`` — image writers with colormaps
-(jet/magma/checkerboard-uv), side-by-side image grids, mp4 sequences via
-frame-name regex, OBJ meshes (own writer — trimesh is not available in this
-environment), json and npz dumps.
+(jet/magma/checkerboard-uv), side-by-side image grids, mp4/gif sequences via
+frame-name regex, unfolded cubemap panels, OBJ meshes (own writer — trimesh
+is not available in this environment), json and npz dumps.
 """
 
 from __future__ import annotations
@@ -140,6 +140,82 @@ def save_video(save_dir, filename, img_dir, matcher, fps=30):
         writer.write(cv2.imread(f))
     writer.release()
     return path
+
+
+def save_gif(save_dir, filename, img_dir, matcher, fps=30):
+    """Assemble frames matching ``matcher`` into an animated GIF (the
+    reference's ``save_img_sequence(save_format='gif')``,
+    utils/mixins.py:191-207). Uses PIL's GIF encoder (imageio's fps kwarg
+    and ffmpeg plugins are unavailable in this environment)."""
+    from PIL import Image
+
+    pat = re.compile(matcher)
+    frames = []
+    for name in os.listdir(img_dir):
+        m = pat.search(name)
+        if m:
+            frames.append((int(m.group(1)), os.path.join(img_dir, name)))
+    frames.sort()
+    if not frames:
+        return None
+    if not filename.endswith(".gif"):
+        filename += ".gif"
+    path = _ensure_dir(os.path.join(save_dir, filename))
+    imgs = [Image.open(f).convert("RGB") for _, f in frames]
+    imgs[0].save(
+        path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=max(int(round(1000.0 / fps)), 1),
+        loop=0,
+    )
+    return path
+
+
+def save_img_sequence(save_dir, filename, img_dir, matcher, save_format="mp4",
+                      fps=30):
+    """Format-dispatching frame assembler (the reference's
+    ``save_img_sequence`` surface, utils/mixins.py:191-207: ``save_format``
+    in {'mp4', 'gif'})."""
+    if save_format == "gif":
+        return save_gif(save_dir, filename, img_dir, matcher, fps=fps)
+    if save_format == "mp4":
+        if not filename.endswith(".mp4"):
+            filename += ".mp4"
+        return save_video(save_dir, filename, img_dir, matcher, fps=fps)
+    raise ValueError(f"unknown save_format {save_format!r} (mp4|gif)")
+
+
+def save_cubemap(save_dir, filename, img, data_range=(0, 1)):
+    """(6, S, S, C) face stack -> unfolded horizontal-cross panel(s), C
+    consumed 3 channels at a time (reference utils/mixins.py:156-175
+    ``save_cubemap``; face order +x, -x, +y, -y, +z, -z with -z centered):
+
+            [ ]  +y  [ ]  [ ]
+            -x   +z  +x   -z
+            [ ]  -y  [ ]  [ ]
+    """
+    img = np.asarray(img, np.float32)
+    assert img.ndim == 4 and img.shape[0] == 6 and img.shape[1] == img.shape[2]
+    crosses = []
+    for start in range(0, img.shape[-1], 3):
+        faces = np.stack(
+            [rgb_to_panel(img[i, ..., start : start + 3], data_range)
+             for i in range(6)],
+            axis=0,
+        )
+        size = faces.shape[1]
+        blank = np.zeros((size, size, 3), np.uint8)
+        cross = np.concatenate(
+            [
+                np.concatenate([blank, faces[2], blank, blank], axis=1),
+                np.concatenate([faces[1], faces[4], faces[0], faces[5]], axis=1),
+                np.concatenate([blank, faces[3], blank, blank], axis=1),
+            ],
+            axis=0,
+        )
+        crosses.append(cross)
+    return save_image(save_dir, filename, np.concatenate(crosses, axis=1))
 
 
 def save_obj(save_dir, filename, v_pos, t_pos_idx, v_rgb=None):

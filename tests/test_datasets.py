@@ -254,3 +254,66 @@ def test_colmap_dataset_normalization(tmp_path, center_m, up_m):
     assert (fwd * look).sum(-1).min() > 0.7
     dm.setup("test")
     assert dm.test.all_c2w.shape == (5, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# on-disk export round-trip (scripts/make_synthetic_data.py)
+# ---------------------------------------------------------------------------
+
+
+def _exported_splits(tmp_path, fmt):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_synthetic_data import _splits, export_blender, export_dtu
+
+    splits = _splits(size=24, n_train=3, n_val=2, n_test=2, fov=0.8)
+    root = str(tmp_path / fmt)
+    if fmt == "blender":
+        export_blender(root, splits, fov=0.8)
+    else:
+        export_dtu(root, splits)
+    return root, splits
+
+
+def test_blender_export_roundtrip(tmp_path):
+    root, splits = _exported_splits(tmp_path, "blender")
+    cfg = config_from_dict(
+        {"name": "blender", "root_dir": root, "img_wh": [24, 24]}
+    )
+    dm = datasets.make("blender", cfg)
+    dm.setup("fit")
+    src = splits["train"]
+    tr = dm.train
+    np.testing.assert_allclose(tr.all_c2w, src.all_c2w, atol=1e-6)
+    np.testing.assert_allclose(tr.directions, src.directions, atol=1e-4)
+    # images round-trip through 8-bit png (masked like the system does:
+    # outside the fg mask the source rgb is white bg, loader rgb arbitrary)
+    m = src.all_fg_masks[..., None]
+    np.testing.assert_allclose(
+        tr.all_images * m, src.all_images * m, atol=2 / 255
+    )
+    np.testing.assert_allclose(tr.all_fg_masks, src.all_fg_masks, atol=1e-3)
+
+
+def test_dtu_export_roundtrip(tmp_path):
+    root, splits = _exported_splits(tmp_path, "dtu")
+    cfg = config_from_dict(
+        {"name": "dtu", "root_dir": root, "img_wh": [24, 24]}
+    )
+    dm = datasets.make("dtu", cfg)
+    dm.setup("fit")
+    src = splits["train"]
+    tr = dm.train
+    # P = K @ w2c decomposition must reconstruct the OpenGL c2w exactly
+    np.testing.assert_allclose(tr.all_c2w, src.all_c2w, atol=1e-5)
+    # per-view direction grids all equal the shared synthetic grid
+    for i in range(tr.directions.shape[0]):
+        np.testing.assert_allclose(
+            tr.directions[i], src.directions, atol=1e-4
+        )
+    m = src.all_fg_masks[..., None]
+    np.testing.assert_allclose(
+        tr.all_images * m, src.all_images * m, atol=2 / 255
+    )
+    np.testing.assert_allclose(tr.all_fg_masks, src.all_fg_masks, atol=1e-2)

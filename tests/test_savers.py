@@ -73,3 +73,70 @@ def test_json_npz(tmp_path):
     p = savers.save_npz(str(tmp_path), "arrays.npz", a=np.ones(3))
     data = np.load(p)
     np.testing.assert_array_equal(data["a"], np.ones(3))
+
+
+def test_gif_from_frames(tmp_path):
+    import cv2
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(
+            str(frames_dir / f"{i}.png"),
+            np.full((16, 16, 3), i * 40, np.uint8),
+        )
+    path = savers.save_gif(
+        str(tmp_path), "out", str(frames_dir), r"(\d+)\.png", fps=10
+    )
+    assert path.endswith(".gif")
+    with Image.open(path) as im:
+        assert im.n_frames == 4
+        assert im.size == (16, 16)
+    # empty frame dir -> None (reference behavior: nothing written)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert savers.save_gif(
+        str(tmp_path), "none.gif", str(empty), r"(\d+)\.png"
+    ) is None
+
+
+def test_img_sequence_dispatch(tmp_path):
+    import cv2
+    import pytest
+
+    frames_dir = tmp_path / "seq"
+    frames_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(
+            str(frames_dir / f"{i}.png"), np.zeros((8, 8, 3), np.uint8)
+        )
+    mp4 = savers.save_img_sequence(
+        str(tmp_path), "seq", str(frames_dir), r"(\d+)\.png"
+    )
+    assert mp4.endswith("seq.mp4")
+    gif = savers.save_img_sequence(
+        str(tmp_path), "seq", str(frames_dir), r"(\d+)\.png",
+        save_format="gif",
+    )
+    assert gif.endswith("seq.gif")
+    with pytest.raises(ValueError):
+        savers.save_img_sequence(
+            str(tmp_path), "seq", str(frames_dir), r"(\d+)\.png",
+            save_format="webm",
+        )
+
+
+def test_cubemap_cross_layout(tmp_path):
+    import cv2
+
+    # 6 faces x 8x8, two 3-channel groups -> two crosses side by side
+    img = np.zeros((6, 8, 8, 6), np.float32)
+    img[4, ..., :3] = 1.0  # +z face (center of cross), first group
+    path = savers.save_cubemap(str(tmp_path), "cube.png", img)
+    out = cv2.imread(path)
+    assert out.shape == (24, 64, 3)  # 3 rows x (4 cols x 2 groups) of 8px
+    # +z sits at row 1, col 1 of the first cross and is white there
+    assert out[8:16, 8:16].min() == 255
+    # second group's +z cell is black (face 4 channels 3:6 are zero)
+    assert out[8:16, 40:48].max() == 0
