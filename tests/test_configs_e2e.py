@@ -69,6 +69,41 @@ def test_neuralangelo_path_trains():
     assert np.isfinite(metrics["train/loss_eikonal"])
 
 
+def test_blender_on_disk_trains(tmp_path):
+    """The full reference path: exported NeRF-Synthetic-layout data on disk,
+    loaded by the real blender loader (datasets/blender.py), trained through
+    the unmodified nerf-blender.yaml config (reference launch.py:109-115
+    contract — no synthetic-dataset shortcut anywhere)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_synthetic_data import _splits, export_blender
+
+    root = str(tmp_path / "blender")
+    export_blender(root, _splits(size=48, n_train=4, n_val=1, n_test=1, fov=0.8),
+                   fov=0.8)
+    cfg = load_config(
+        "configs/nerf-blender.yaml",
+        cli_args=[
+            "dataset.scene=synthball",
+            f"dataset.root_dir={root}",
+            "dataset.img_wh=[48,48]",
+            "model.num_samples_per_ray=32",
+            "model.max_train_num_rays=256",
+            "model.train_num_samples=4096",
+            "model.eval_chunk_rays=512",
+            "model.eval_num_samples=16384",
+            "model.geometry.isosurface.resolution=24",
+            "model.geometry.xyz_encoding_config.n_levels=6",
+            "model.geometry.xyz_encoding_config.log2_hashmap_size=14",
+        ],
+    )
+    _, metrics = _run_steps(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    assert metrics["train/psnr"] > 8.0
+
+
 def test_neus_learned_background_trains():
     cfg = load_config(
         "configs/neus-dtu.yaml",
