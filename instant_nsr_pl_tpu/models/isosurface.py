@@ -49,6 +49,34 @@ def _eval_level_grid(geometry, params, vmin, vmax, resolution, chunk, step=None)
     return out.reshape(resolution, resolution, resolution)
 
 
+def chunked_point_eval(fn, points, chunk):
+    """Apply ``fn`` (pytree-of-arrays valued, leading axis = points) over
+    ``points`` (N, 3) in fixed-size padded chunks — the reference's
+    ``chunk_batch(..., export.chunk_size, ...)`` role for vertex-attribute
+    evaluation at export time (reference models/nerf.py:156,
+    models/neus.py:317). One XLA compilation regardless of N."""
+    points = np.asarray(points, np.float32)
+    n = points.shape[0]
+    chunk = int(chunk)
+    if n <= chunk:
+        return fn(jnp.asarray(points))
+    outs = []
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        block = points[start:end]
+        if block.shape[0] < chunk:
+            block = np.concatenate(
+                [block, np.zeros((chunk - block.shape[0], 3), np.float32)]
+            )
+        out = fn(jnp.asarray(block))
+        outs.append(
+            jax.tree_util.tree_map(lambda a, k=end - start: np.asarray(a)[:k], out)
+        )
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *outs
+    )
+
+
 def _extract(values, vmin, vmax, iso=0.0):
     if _native.native_available():
         verts, faces = _native.marching_tetrahedra_native(values, iso)

@@ -243,9 +243,22 @@ class NeRFModel:
         -z as in the reference (models/nerf.py:152-161)."""
         mesh = self.isosurface(params, step=step)
         if export_config.get("export_vertex_color", False):
-            v_pos = jnp.asarray(mesh["v_pos"])
-            _, feature = self.geometry.apply(params["geometry"], v_pos, step=step)
-            viewdirs = jnp.zeros_like(v_pos).at[..., 2].set(-1.0)
-            rgb = self.texture.apply(params["texture"], feature, viewdirs, step=step)
-            mesh["v_rgb"] = jnp.clip(rgb, 0.0, 1.0)
+            from instant_nsr_pl_tpu.models.isosurface import chunked_point_eval
+
+            def vertex_rgb(v_pos):
+                _, feature = self.geometry.apply(
+                    params["geometry"], v_pos, step=step
+                )
+                viewdirs = jnp.zeros_like(v_pos).at[..., 2].set(-1.0)
+                rgb = self.texture.apply(
+                    params["texture"], feature, viewdirs, step=step
+                )
+                return jnp.clip(rgb, 0.0, 1.0)
+
+            # chunked by export.chunk_size (reference models/nerf.py:156)
+            mesh["v_rgb"] = chunked_point_eval(
+                jax.jit(vertex_rgb),
+                mesh["v_pos"],
+                export_config.get("chunk_size", 2097152),
+            )
         return mesh

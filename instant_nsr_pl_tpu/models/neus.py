@@ -443,15 +443,25 @@ class NeuSModel:
         (reference models/neus.py:316-321)."""
         mesh = self.isosurface(params, step=step)
         if export_config.get("export_vertex_color", False):
-            v_pos = jnp.asarray(mesh["v_pos"])
-            _, sdf_grad, feature = self.geometry.apply(
-                params["geometry"], v_pos, step=step, with_grad=True, with_feature=True
+            from instant_nsr_pl_tpu.models.isosurface import chunked_point_eval
+
+            def vertex_rgb(v_pos):
+                _, sdf_grad, feature = self.geometry.apply(
+                    params["geometry"], v_pos, step=step,
+                    with_grad=True, with_feature=True,
+                )
+                normal = sdf_grad / jnp.maximum(
+                    jnp.linalg.norm(sdf_grad, axis=-1, keepdims=True), 1e-10
+                )
+                rgb = self.texture.apply(
+                    params["texture"], feature, -normal, normal, step=step
+                )
+                return jnp.clip(rgb, 0.0, 1.0)
+
+            # chunked by export.chunk_size (reference models/neus.py:317)
+            mesh["v_rgb"] = chunked_point_eval(
+                jax.jit(vertex_rgb),
+                mesh["v_pos"],
+                export_config.get("chunk_size", 2097152),
             )
-            normal = sdf_grad / jnp.maximum(
-                jnp.linalg.norm(sdf_grad, axis=-1, keepdims=True), 1e-10
-            )
-            rgb = self.texture.apply(
-                params["texture"], feature, -normal, normal, step=step
-            )
-            mesh["v_rgb"] = jnp.clip(rgb, 0.0, 1.0)
         return mesh

@@ -79,7 +79,12 @@ class BaseSystem:
                 int(m.get("train_num_rays", 256)) * int(m.num_samples_per_ray),
             )
         )
-        self.eval_chunk_rays = int(m.get("eval_chunk_rays", 4096))
+        # reference configs spell the eval chunk `ray_chunk` (consumed at
+        # reference models/nerf.py:133); accept it as the default so an
+        # unmodified reference YAML keeps its chunking intent
+        self.eval_chunk_rays = int(
+            m.get("eval_chunk_rays", m.get("ray_chunk", 4096))
+        )
         self.eval_capacity = int(
             m.get("eval_num_samples", self.eval_chunk_rays * 128)
         )

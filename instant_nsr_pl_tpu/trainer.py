@@ -45,6 +45,20 @@ class Trainer:
         self.ckpt_every = int(
             config.get("checkpoint", {}).get("every_n_train_steps", self.max_steps)
         )
+        # reference checkpoint.save_top_k semantics with monitor=None
+        # (launch.py:72-75): -1 keeps every checkpoint, 0 disables saving,
+        # k>0 keeps only the k most recent
+        self.save_top_k = int(config.get("checkpoint", {}).get("save_top_k", -1))
+        # reference trainer.num_sanity_val_steps (configs set 0): render N
+        # val images before training starts to fail fast on eval-path bugs
+        self.num_sanity_val_steps = int(tcfg.get("num_sanity_val_steps", 0))
+        if float(tcfg.get("limit_train_batches", 1.0)) != 1.0:
+            import warnings
+
+            warnings.warn(
+                "trainer.limit_train_batches != 1.0 has no effect: training "
+                "is step-based (max_steps), there is no epoch to limit"
+            )
         self.exp_dir = exp_dir
         self.save_dir = os.path.join(exp_dir, "save")
         self.ckpt_dir = os.path.join(exp_dir, "ckpt")
@@ -89,6 +103,11 @@ class Trainer:
         # gives a step range traced into <exp_dir>/profile
         profile_cfg = self.config.trainer.get("profile", None)
         prof_range = tuple(profile_cfg) if profile_cfg else None
+
+        if self.num_sanity_val_steps:
+            n = min(int(val_data["images"].shape[0]), self.num_sanity_val_steps)
+            for i in range(n):
+                system.evaluate_image(state, i, data=val_data)
 
         start_step = int(state["step"])
         t0 = time.time()
@@ -217,8 +236,20 @@ class Trainer:
         return mesh
 
     def save(self, system, state, step):
-        if not self.is_main:
+        if not self.is_main or self.save_top_k == 0:
             return None
-        return save_checkpoint(
+        path = save_checkpoint(
             os.path.join(self.ckpt_dir, f"step={step}.ckpt.npz"), state
         )
+        if self.save_top_k > 0:
+            kept = sorted(
+                (
+                    f
+                    for f in os.listdir(self.ckpt_dir)
+                    if f.startswith("step=") and f.endswith(".ckpt.npz")
+                ),
+                key=lambda f: int(f[len("step="):].split(".")[0]),
+            )
+            for old in kept[: -self.save_top_k]:
+                os.remove(os.path.join(self.ckpt_dir, old))
+        return path
