@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from instant_nsr_pl_tpu.registry import models
@@ -54,6 +55,40 @@ def C(value, step):
     return jnp.float32(start_value) + t * (
         jnp.float32(end_value) - jnp.float32(start_value)
     )
+
+
+def pixels_to_f32(x):
+    """Dequantize uint8-resident pixels to float32 in [0, 1]; float data
+    passes through. Works on numpy and traced arrays."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+def dataset_device_arrays(dataset):
+    """Move a dataset split's arrays onto device.
+
+    The reference's ``load_data_on_gpu: false`` (datasets/colmap.py:192,
+    266-268 — keep the image stack in host RAM, ship sampled pixels each
+    step) maps poorly to TPU: a host gather + transfer through the runtime
+    every step would serialize the scan-megastep loop. The TPU-native
+    equivalent of "bound device memory" is uint8 residency: images/masks
+    come from 8-bit files, so storing them quantized is lossless vs the
+    source and cuts their HBM footprint 4x; sampled pixels are dequantized
+    in-kernel (``pixels_to_f32``). Per-view direction grids stay float32.
+    """
+    on_gpu = bool(getattr(dataset, "config", {}).get("load_data_on_gpu", True))
+    images = np.asarray(dataset.all_images, np.float32)
+    masks = np.asarray(dataset.all_fg_masks, np.float32)
+    if not on_gpu:
+        images = np.round(np.clip(images, 0.0, 1.0) * 255.0).astype(np.uint8)
+        masks = np.round(np.clip(masks, 0.0, 1.0) * 255.0).astype(np.uint8)
+    return {
+        "images": jnp.asarray(images),
+        "fg_masks": jnp.asarray(masks),
+        "c2w": jnp.asarray(dataset.all_c2w, jnp.float32),
+        "directions": jnp.asarray(dataset.directions, jnp.float32),
+    }
 
 
 class BaseSystem:
@@ -127,13 +162,10 @@ class BaseSystem:
         ``dataset`` exposes numpy arrays: all_images (N,H,W,3), all_fg_masks
         (N,H,W), all_c2w (N,3,4), directions (H,W,3) or (N,H,W,3), plus
         w/h/has_mask/apply_mask (reference contract: systems/nerf.py:38-64).
+        With ``dataset.load_data_on_gpu: false`` pixels are uint8-resident
+        (see ``dataset_device_arrays``).
         """
-        self.data = {
-            "images": jnp.asarray(dataset.all_images, jnp.float32),
-            "fg_masks": jnp.asarray(dataset.all_fg_masks, jnp.float32),
-            "c2w": jnp.asarray(dataset.all_c2w, jnp.float32),
-            "directions": jnp.asarray(dataset.directions, jnp.float32),
-        }
+        self.data = dataset_device_arrays(dataset)
         self.w = int(dataset.w)
         self.h = int(dataset.h)
         self.n_images = int(self.data["images"].shape[0])
@@ -197,8 +229,8 @@ class BaseSystem:
         rays_d = rays_d / jnp.maximum(
             jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-10
         )
-        rgb = data["images"][idx, y, x]
-        fg_mask = data["fg_masks"][idx, y, x]
+        rgb = pixels_to_f32(data["images"][idx, y, x])
+        fg_mask = pixels_to_f32(data["fg_masks"][idx, y, x])
         return rays_o, rays_d, rgb, fg_mask
 
     def _background_color(self, rng, n, train: bool):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.registry import systems
-from instant_nsr_pl_tpu.systems.base import BaseSystem, C
+from instant_nsr_pl_tpu.systems.base import BaseSystem, C, pixels_to_f32
 from instant_nsr_pl_tpu.systems.criterions import psnr, smooth_l1_loss
 from instant_nsr_pl_tpu.ops.rendering import distortion_loss
 
@@ -101,9 +101,9 @@ class NeRFSystem(BaseSystem):
 
         data = data if data is not None else self.data
         images = self.render_image(state, index, data=data)
-        gt = np.asarray(data["images"][index])
+        gt = np.asarray(pixels_to_f32(data["images"][index]))
         if self.apply_mask:
-            mask = np.asarray(data["fg_masks"][index])[..., None]
+            mask = np.asarray(pixels_to_f32(data["fg_masks"][index]))[..., None]
             gt = gt * mask + (1.0 - mask)
         value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
         return {"psnr": value, "images": images, "gt": gt}

@@ -25,13 +25,11 @@ from instant_nsr_pl_tpu.utils.loggers import ConsoleLogger, CSVLogger, TensorBoa
 
 def data_arrays(dataset):
     """Device-array dict for a dataset split (the eval-side counterpart of
-    ``BaseSystem.setup_data``)."""
-    return {
-        "images": jnp.asarray(dataset.all_images, jnp.float32),
-        "fg_masks": jnp.asarray(dataset.all_fg_masks, jnp.float32),
-        "c2w": jnp.asarray(dataset.all_c2w, jnp.float32),
-        "directions": jnp.asarray(dataset.directions, jnp.float32),
-    }
+    ``BaseSystem.setup_data``); honors ``load_data_on_gpu: false`` via uint8
+    residency (see ``systems.base.dataset_device_arrays``)."""
+    from instant_nsr_pl_tpu.systems.base import dataset_device_arrays
+
+    return dataset_device_arrays(dataset)
 
 
 class Trainer:

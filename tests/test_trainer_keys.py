@@ -118,3 +118,60 @@ def test_export_vertex_color_chunked(tmp_path):
         np.asarray(mesh_big["v_rgb"]),
         atol=1e-5,
     )
+
+
+def test_load_data_on_gpu_false_uint8_residency():
+    """reference datasets/colmap.py:192,266-268 `load_data_on_gpu: false`:
+    here = uint8-resident pixels (4x HBM cut, lossless vs the 8-bit source),
+    dequantized in-kernel. Training and eval must work and match the f32
+    path to 8-bit quantization."""
+    import jax
+
+    from instant_nsr_pl_tpu.registry import datasets
+    import instant_nsr_pl_tpu.datasets  # noqa: F401
+
+    over = [
+        "dataset.size=32",
+        "dataset.n_train=3",
+        "dataset.n_val=1",
+        "model.num_samples_per_ray=16",
+        "model.train_num_rays=64",
+        "model.max_train_num_rays=64",
+        "model.train_num_samples=1024",
+        "model.eval_chunk_rays=256",
+        "model.eval_num_samples=4096",
+        "model.geometry.xyz_encoding_config.n_levels=4",
+        "model.geometry.xyz_encoding_config.log2_hashmap_size=12",
+    ]
+    cfg = load_config(
+        "configs/nerf-synthetic.yaml",
+        cli_args=over + ["dataset.load_data_on_gpu=false"],
+    )
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    sys_q = systems.make(cfg.system.name, cfg)
+    sys_q.setup_data(dm.train)
+    assert sys_q.data["images"].dtype == np.uint8
+    assert sys_q.data["fg_masks"].dtype == np.uint8
+
+    cfg_f = load_config("configs/nerf-synthetic.yaml", cli_args=over)
+    dm_f = datasets.make(cfg_f.dataset.name, cfg_f.dataset)
+    dm_f.setup("fit")
+    sys_f = systems.make(cfg_f.system.name, cfg_f)
+    sys_f.setup_data(dm_f.train)
+    assert sys_f.data["images"].dtype == np.float32
+
+    # same RNG -> same sampled pixels up to the 8-bit quantum
+    rng = jax.random.PRNGKey(7)
+    *_, rgb_q, m_q = sys_q._sample_rays(sys_q.data, rng)
+    *_, rgb_f, m_f = sys_f._sample_rays(sys_f.data, rng)
+    np.testing.assert_allclose(rgb_q, rgb_f, atol=0.5 / 255)
+    np.testing.assert_allclose(m_q, m_f, atol=0.5 / 255)
+
+    # a train step + eval run end-to-end on the quantized data
+    state = sys_q.init_state(seed=0)
+    state, metrics = sys_q.train_step(state)
+    assert np.isfinite(float(metrics["train/loss"]))
+    res = sys_q.evaluate_image(state, 0)
+    assert np.isfinite(res["psnr"])
+    assert res["gt"].dtype == np.float32
