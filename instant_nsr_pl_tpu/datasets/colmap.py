@@ -104,7 +104,20 @@ def normalize_poses(poses, pts, up_est_method, center_est_method):
         if signed.mean() < 0:
             z = -z
     elif up_est_method == "camera":
-        z = _normalize((poses[..., 3] - center).mean(0), axis=0)
+        v = (poses[..., 3] - center).mean(0)
+        if np.linalg.norm(v) < 1e-6:
+            # perfectly symmetric capture: camera offsets cancel and the
+            # reference formula (colmap.py:62) silently normalizes ~0 into
+            # garbage — fall back to world +z loudly instead
+            import warnings
+
+            warnings.warn(
+                "up_est_method=camera degenerated (camera positions are "
+                "symmetric about the center); falling back to +z up"
+            )
+            z = np.array([0.0, 0.0, 1.0])
+        else:
+            z = _normalize(v, axis=0)
     else:
         raise ValueError(f"Unknown up estimation method: {up_est_method}")
 

@@ -115,10 +115,79 @@ def export_dtu(root, splits):
     print(f"[dtu] wrote {root}")
 
 
+def export_colmap(root, splits, fov):
+    """COLMAP sparse-reconstruction layout (reference datasets/colmap.py:
+    143-208): ``sparse/0/{cameras,images,points3D}.bin`` + ``images/``.
+    One shared PINHOLE camera; 3D points sampled on the analytic sphere
+    surfaces (foreground points for the `point` center estimator)."""
+    import struct
+
+    from PIL import Image
+
+    from instant_nsr_pl_tpu.datasets.synthetic import _DEFAULT_SPHERES
+
+    ds = splits["train"]
+    os.makedirs(os.path.join(root, "sparse/0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    h, w = ds.all_images.shape[1:3]
+    focal = 0.5 * w / math.tan(0.5 * fov)
+
+    with open(os.path.join(root, "sparse/0/cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, w, h))  # PINHOLE model id=1
+        f.write(struct.pack("<4d", focal, focal, w / 2.0, h / 2.0))
+
+    def rotmat_to_qvec(R):
+        qw = math.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0)) / 2.0
+        return np.array(
+            [
+                qw,
+                (R[2, 1] - R[1, 2]) / (4 * qw),
+                (R[0, 2] - R[2, 0]) / (4 * qw),
+                (R[1, 0] - R[0, 1]) / (4 * qw),
+            ]
+        )
+
+    with open(os.path.join(root, "sparse/0/images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", ds.all_images.shape[0]))
+        for i in range(ds.all_images.shape[0]):
+            c2w = np.eye(4, dtype=np.float64)
+            c2w[:3, :4] = ds.all_c2w[i]
+            # OpenGL (right-up-back) -> COLMAP (right-down-front) then w2c
+            c2w[:3, 1:3] *= -1.0
+            w2c = np.linalg.inv(c2w)
+            q = rotmat_to_qvec(w2c[:3, :3])
+            t = w2c[:3, 3]
+            f.write(struct.pack("<idddddddi", i + 1, *q, *t, 1))
+            f.write(f"img_{i:04d}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+            rgb = (np.clip(ds.all_images[i], 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(rgb).save(
+                os.path.join(root, "images", f"img_{i:04d}.png")
+            )
+
+    rng = np.random.RandomState(0)
+    pts = []
+    for (c, r, _a) in _DEFAULT_SPHERES:
+        d = rng.randn(120, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pts.append(np.asarray(c) + r * d)
+    pts = np.concatenate(pts, axis=0)
+    with open(os.path.join(root, "sparse/0/points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", len(pts)))
+        for i, p in enumerate(pts):
+            f.write(struct.pack("<QdddBBBd", i, *p, 128, 128, 128, 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 1, 0))
+    print(f"[colmap] wrote {root}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
-    p.add_argument("--format", default="all", choices=("all", "blender", "dtu"))
+    p.add_argument(
+        "--format", default="all", choices=("all", "blender", "dtu", "colmap")
+    )
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--n-train", type=int, default=20)
     p.add_argument("--n-val", type=int, default=2)
@@ -131,6 +200,8 @@ def main():
         export_blender(os.path.join(args.out, "blender"), splits, args.fov)
     if args.format in ("all", "dtu"):
         export_dtu(os.path.join(args.out, "dtu"), splits)
+    if args.format in ("all", "colmap"):
+        export_colmap(os.path.join(args.out, "colmap"), splits, args.fov)
 
 
 if __name__ == "__main__":

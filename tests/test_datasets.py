@@ -317,3 +317,78 @@ def test_dtu_export_roundtrip(tmp_path):
         tr.all_images * m, src.all_images * m, atol=2 / 255
     )
     np.testing.assert_allclose(tr.all_fg_masks, src.all_fg_masks, atol=1e-2)
+
+
+def test_colmap_degenerate_up_falls_back(tmp_path):
+    """center=camera + up=camera on a perfectly symmetric ring: the
+    reference formula (colmap.py:62) normalizes ~0 into garbage; here it
+    must warn and fall back to +z, producing finite poses."""
+    import instant_nsr_pl_tpu.datasets.colmap as colmap_mod
+
+    colmap_mod.ColmapDatasetBase._cache = {}
+    root = str(tmp_path / "scene")
+    _write_colmap_model(root)
+    cfg = config_from_dict(
+        {
+            "name": "colmap",
+            "root_dir": root,
+            "img_downscale": 1,
+            "up_est_method": "camera",
+            "center_est_method": "camera",
+            "n_test_traj_steps": 2,
+        }
+    )
+    dm = datasets.make("colmap", cfg)
+    with pytest.warns(UserWarning, match="degenerated"):
+        dm.setup("fit")
+    assert np.isfinite(dm.train.all_c2w).all()
+    # min camera distance normalized to 1
+    d = np.linalg.norm(dm.train.all_c2w[:, :, 3], axis=1)
+    np.testing.assert_allclose(d.min(), 1.0, atol=1e-5)
+
+
+def test_colmap_export_roundtrip(tmp_path):
+    """scripts/make_synthetic_data.py colmap layout -> real loader: poses
+    survive the OpenGL->COLMAP->normalize chain up to the normalization
+    similarity transform (distance ratios + look-at preserved)."""
+    import sys
+
+    import instant_nsr_pl_tpu.datasets.colmap as colmap_mod
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_synthetic_data import _splits, export_colmap
+
+    colmap_mod.ColmapDatasetBase._cache = {}
+    splits = _splits(size=24, n_train=4, n_val=1, n_test=1, fov=0.8)
+    root = str(tmp_path / "colmap")
+    export_colmap(root, splits, fov=0.8)
+    cfg = config_from_dict(
+        {
+            "name": "colmap",
+            "root_dir": root,
+            "img_downscale": 1,
+            "up_est_method": "camera",
+            "center_est_method": "camera",
+            "n_test_traj_steps": 2,
+        }
+    )
+    dm = datasets.make("colmap", cfg)
+    dm.setup("fit")
+    tr = dm.train
+    src = splits["train"]
+    assert tr.all_images.shape == src.all_images.shape
+    # normalization is a similarity transform: pairwise camera distances
+    # match up to one global scale, and relative camera orientations
+    # (forward-axis Gram matrix) match exactly
+    def pdist(c2w):
+        p = c2w[:, :, 3]
+        return np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+
+    d_src, d_tr = pdist(src.all_c2w), pdist(tr.all_c2w)
+    s = d_tr.sum() / d_src.sum()
+    np.testing.assert_allclose(d_tr, d_src * s, atol=1e-4)
+    f_src = -src.all_c2w[:, :, 2]
+    f_tr = -tr.all_c2w[:, :, 2]
+    np.testing.assert_allclose(f_tr @ f_tr.T, f_src @ f_src.T, atol=1e-4)
+    # images byte-identical through png
+    np.testing.assert_allclose(tr.all_images, src.all_images, atol=2 / 255)
