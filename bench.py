@@ -76,6 +76,34 @@ _ENCODINGS = {
 }
 
 
+def _apply_smoke(cfg):
+    """--smoke: shrink the workload so the full bench plumbing (A/B, warmup,
+    measurement, JSON output) executes in seconds on CPU. Numbers produced
+    under smoke are plumbing checks, not benchmarks."""
+    if not os.environ.get("INSR_BENCH_SMOKE"):
+        return cfg
+    cfg.dataset["size"] = 48
+    cfg.dataset["n_train"] = 4
+    m = cfg.model
+    m["num_samples_per_ray"] = 32
+    if "num_samples_per_ray_bg" in m:
+        m["num_samples_per_ray_bg"] = 16
+    m["train_num_rays"] = 128
+    m["max_train_num_rays"] = 128
+    m["train_num_samples"] = 4096
+    if "train_num_samples_bg" in m:
+        m["train_num_samples_bg"] = 4096
+    m["eval_chunk_rays"] = 512
+    m["eval_num_samples"] = 8192
+    if "eval_num_samples_bg" in m:
+        m["eval_num_samples_bg"] = 8192
+    enc = m.geometry["xyz_encoding_config"]
+    if enc.get("otype") == "HashGrid":
+        enc["n_levels"] = 6
+        enc["log2_hashmap_size"] = 14
+    return cfg
+
+
 def build_system(encoding: str = "cp"):
     from instant_nsr_pl_tpu.config import config_from_dict
     from instant_nsr_pl_tpu.registry import datasets, systems
@@ -147,6 +175,7 @@ def build_system(encoding: str = "cp"):
             },
         }
     )
+    cfg = _apply_smoke(cfg)
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     dm.setup("fit")
     system = systems.make(cfg.system.name, cfg)
@@ -252,6 +281,7 @@ def build_neus_system(encoding: str = "cp"):
             },
         }
     )
+    cfg = _apply_smoke(cfg)
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     dm.setup("fit")
     system = systems.make(cfg.system.name, cfg)
@@ -291,7 +321,34 @@ def main():
         help="xyz encoding: cp (TPU flagship; default for both workloads) | "
         "cp_big | hash (reference tcnn config, for parity)",
     )
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="pin the JAX platform (e.g. 'cpu' for smoke runs); set via "
+        "jax.config because JAX_PLATFORMS can be overridden by site plugins",
+    )
+    p.add_argument(
+        "--smoke",
+        action="store_true",
+        help="shrink the workload + step counts so the full bench plumbing "
+        "runs in seconds on CPU (plumbing check, NOT a benchmark)",
+    )
+    p.add_argument(
+        "--no-ab",
+        action="store_true",
+        help="skip the fused-vs-composed kernel A/B (train mode runs it by "
+        "default when the fused Pallas path is active: the fused kernels "
+        "are backend-sensitive, so an unattended bench keeps whichever "
+        "path measures faster)",
+    )
     args, _ = p.parse_known_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.smoke:
+        os.environ["INSR_BENCH_SMOKE"] = "1"
+    smoke = bool(os.environ.get("INSR_BENCH_SMOKE"))
+    warm_steps, meas_steps = (16, 8) if smoke else (160, 96)
+    ab_warm, ab_meas = (8, 8) if smoke else (48, 32)
 
     def build():
         if args.workload == "neus":
@@ -334,13 +391,13 @@ def main():
 
         # short training warmup so the occupancy grid converges and eval
         # measures a realistic packing (not an all-empty scene)
-        state, metrics = system.train_chunk(state, 64)
+        state, metrics = system.train_chunk(state, 16 if smoke else 64)
         float(metrics["train/loss"])
         dm = system.bench_dm
         val = data_arrays(dm.val)
         h, w = int(val["images"].shape[1]), int(val["images"].shape[2])
         system.render_image(state, 0, data=val)  # compile + warm
-        n_imgs = 6
+        n_imgs = 1 if smoke else 6
         t0 = time.perf_counter()
         for _ in range(n_imgs):
             system.render_image(state, 0, data=val)
@@ -363,15 +420,60 @@ def main():
         )
         return
 
+    def _uses_fused(sys_):
+        mdl = sys_.model
+        for name in ("geometry", "geometry_bg"):
+            ewn = getattr(getattr(mdl, name, None), "encoding_with_network", None)
+            if ewn is not None and getattr(ewn, "fused", False):
+                return True
+        for name in ("texture", "texture_bg"):
+            if getattr(getattr(mdl, name, None), "fused", False):
+                return True
+        return False
+
+    def _time_steps(sys_, st, warm, n):
+        st, m = sys_.train_chunk(st, warm)
+        float(m["train/loss"])
+        t0 = time.perf_counter()
+        st, m = sys_.train_chunk(st, n)
+        float(m["train/loss"])
+        return (time.perf_counter() - t0) / n, st
+
+    if (
+        not args.no_ab
+        and not os.environ.get("INSR_DISABLE_FUSED")
+        and _uses_fused(system)
+    ):
+        import sys as _sys
+
+        dt_fused, state = _time_steps(system, state, ab_warm, ab_meas)
+        os.environ["INSR_DISABLE_FUSED"] = "1"
+        try:
+            sys_b, st_b = build()
+            st_b, m = sys_b.train_chunk(st_b, 1)
+            float(m["train/loss"])
+            dt_comp, st_b = _time_steps(sys_b, st_b, ab_warm, ab_meas)
+        except Exception:  # noqa: BLE001 — composed path must not kill the bench
+            dt_comp, sys_b, st_b = float("inf"), None, None
+        print(
+            f"bench A/B: fused {dt_fused * 1e3:.2f} ms/step vs composed "
+            f"{dt_comp * 1e3:.2f} ms/step",
+            file=_sys.stderr,
+        )
+        if dt_comp < dt_fused:
+            system, state = sys_b, st_b
+        else:
+            del os.environ["INSR_DISABLE_FUSED"]
+
     # warm up: compile both occ-update variants + the scan-megastep chunk
     # (train_chunk: one dispatch per grid-update interval — the production
     # loop in trainer.py), let the occupancy grid converge so steady-state
     # packing is measured, and let dynamic ray batching settle on its bucket
     # (training spends 98%+ of its steps there)
-    state, metrics = system.train_chunk(state, 160)
+    state, metrics = system.train_chunk(state, warm_steps)
     float(metrics["train/loss"])  # fetch = the only true sync on this runtime
 
-    n_steps = 96
+    n_steps = meas_steps
     t0 = time.perf_counter()
     state, metrics = system.train_chunk(state, n_steps)
     float(metrics["train/loss"])
