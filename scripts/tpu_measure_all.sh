@@ -47,4 +47,13 @@ stage bench_nerf_stacked python bench.py --workload nerf --encoding cp_stacked
 stage bench_neus python bench.py --workload neus
 stage profile_step python scripts/profile_step.py
 stage bench_eval python bench.py --workload nerf --mode eval
+# quality at the flagship encoding: 10k steps on the procedural scene
+# (round-1 hash evidence was val 34.3; CP must hold the quality bar too)
+stage quality_cp python launch.py --config configs/nerf-synthetic.yaml --train \
+  trainer.max_steps=10000 trainer.val_check_interval=5000 \
+  model.geometry.xyz_encoding_config.otype=CP \
+  model.geometry.xyz_encoding_config.n_components=64 \
+  "model.geometry.xyz_encoding_config.resolutions=[128,2048]" \
+  model.geometry.xyz_encoding_config.n_features=16 \
+  --exp_dir /tmp/exp_quality_cp
 echo "=== done $(date +%H:%M:%S) ===" | tee -a "$LOG"
