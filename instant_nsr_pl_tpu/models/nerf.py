@@ -193,18 +193,19 @@ class NeRFModel:
             samples.t_starts, samples.t_ends, density,
             samples.ray_indices, samples.valid, group=grp,
         )
-        opacity = accumulate_along_rays(
-            weights, samples.ray_indices, None, n_rays=n_rays,
-            valid=samples.valid, group=grp,
+        # one stacked contraction for (opacity, depth, rgb): a single
+        # scatter-free segment sum (ends=ray_ends) instead of three
+        # same-index scatters XLA may merge into a variadic scatter (the
+        # TPU scatter-emitter crash) and run as serial loops
+        vals = jnp.concatenate(
+            [jnp.ones((t_mid.shape[0], 1), t_mid.dtype), t_mid[:, None], rgb],
+            axis=-1,
         )
-        depth = accumulate_along_rays(
-            weights, samples.ray_indices, t_mid, n_rays=n_rays,
-            valid=samples.valid, group=grp,
+        acc = accumulate_along_rays(
+            weights, samples.ray_indices, vals, n_rays=n_rays,
+            valid=samples.valid, group=grp, ends=samples.ray_ends,
         )
-        comp_rgb = accumulate_along_rays(
-            weights, samples.ray_indices, rgb, n_rays=n_rays,
-            valid=samples.valid, group=grp,
-        )
+        opacity, depth, comp_rgb = acc[:, 0:1], acc[:, 1:2], acc[:, 2:5]
         bg = jnp.broadcast_to(jnp.asarray(background_color), comp_rgb.shape)
         comp_rgb = comp_rgb + bg * (1.0 - opacity)
 

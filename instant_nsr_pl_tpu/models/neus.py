@@ -255,15 +255,17 @@ class NeuSModel:
             samples.t_starts, samples.t_ends, density,
             samples.ray_indices, samples.valid,
         )
-        opacity = accumulate_along_rays(
-            weights, samples.ray_indices, None, n_rays=n_rays, valid=samples.valid
+        # one stacked scatter-free contraction for (opacity, depth, rgb) —
+        # see models/nerf.py forward
+        vals = jnp.concatenate(
+            [jnp.ones((t_mid.shape[0], 1), t_mid.dtype), t_mid[:, None], rgb],
+            axis=-1,
         )
-        depth = accumulate_along_rays(
-            weights, samples.ray_indices, t_mid, n_rays=n_rays, valid=samples.valid
+        acc = accumulate_along_rays(
+            weights, samples.ray_indices, vals, n_rays=n_rays,
+            valid=samples.valid, ends=samples.ray_ends,
         )
-        comp_rgb = accumulate_along_rays(
-            weights, samples.ray_indices, rgb, n_rays=n_rays, valid=samples.valid
-        )
+        opacity, depth, comp_rgb = acc[:, 0:1], acc[:, 1:2], acc[:, 2:5]
         bg = jnp.broadcast_to(jnp.asarray(background_color), comp_rgb.shape)
         comp_rgb = comp_rgb + bg * (1.0 - opacity)
 
@@ -356,22 +358,23 @@ class NeuSModel:
         weights = render_weight_from_alpha(
             alpha, samples.ray_indices, samples.valid, group=grp
         )
-        opacity = accumulate_along_rays(
-            weights, samples.ray_indices, None, n_rays=n_rays,
-            valid=samples.valid, group=grp,
+        # one stacked scatter-free contraction for (opacity, depth, rgb,
+        # normal) — see models/nerf.py forward
+        vals = jnp.concatenate(
+            [
+                jnp.ones((t_mid.shape[0], 1), t_mid.dtype),
+                t_mid[:, None],
+                rgb,
+                normal,
+            ],
+            axis=-1,
         )
-        depth = accumulate_along_rays(
-            weights, samples.ray_indices, t_mid, n_rays=n_rays,
-            valid=samples.valid, group=grp,
+        acc = accumulate_along_rays(
+            weights, samples.ray_indices, vals, n_rays=n_rays,
+            valid=samples.valid, group=grp, ends=samples.ray_ends,
         )
-        comp_rgb = accumulate_along_rays(
-            weights, samples.ray_indices, rgb, n_rays=n_rays,
-            valid=samples.valid, group=grp,
-        )
-        comp_normal = accumulate_along_rays(
-            weights, samples.ray_indices, normal, n_rays=n_rays,
-            valid=samples.valid, group=grp,
-        )
+        opacity, depth = acc[:, 0:1], acc[:, 1:2]
+        comp_rgb, comp_normal = acc[:, 2:5], acc[:, 5:8]
         comp_normal = comp_normal / jnp.maximum(
             jnp.linalg.norm(comp_normal, axis=-1, keepdims=True), 1e-10
         )

@@ -415,6 +415,11 @@ class PackedSamples(NamedTuple):
     valid: jax.Array  # (CAP,) bool
     num_valid: jax.Array  # () int32 — total live samples (pre-truncation)
     ray_kept: jax.Array  # (R,) bool — all of this ray's live samples fit in CAP
+    ray_ends: jax.Array  # (R,) int32 — exclusive slot offset where ray r's
+    # packed slots end (ray r occupies [ray_ends[r-1], ray_ends[r])); free
+    # from the compaction cumsum, and lets compositing run scatter-free
+    # (ops/rendering.py segment_sum_sorted: segmented cumsum + one gather
+    # at these offsets instead of XLA's serial scatter loop)
 
 
 def _t_schedule(t_min, render_step_size, cone_angle, max_samples):
@@ -439,7 +444,7 @@ def _t_schedule(t_min, render_step_size, cone_angle, max_samples):
 
 
 def _expand_groups(
-    sel, num_valid, ray_kept, R, sg, k, t_min, t_max, step, capacity
+    sel, num_valid, ray_kept, ray_ends, R, sg, k, t_min, t_max, step, capacity
 ):
     """Expand sorted fine-group ids (ascending flat id, padding = R*sg) into
     packed per-sample buffers, reconstructing distances analytically from
@@ -465,6 +470,7 @@ def _expand_groups(
         valid=pv.reshape(-1),
         num_valid=num_valid,
         ray_kept=ray_kept,
+        ray_ends=ray_ends,
     )
 
 
@@ -599,9 +605,11 @@ def march_rays(
         sel = sorted_keys[: capacity // k]  # (CAP/k,) group ids
         # capacity truncation happens at group boundaries
         per_ray_g = gvalid.sum(axis=1)
-        ray_kept = jnp.cumsum(per_ray_g) * k <= capacity
+        cum_g = jnp.cumsum(per_ray_g)
+        ray_kept = cum_g * k <= capacity
+        ray_ends = (jnp.minimum(cum_g, capacity // k) * k).astype(jnp.int32)
         return _expand_groups(
-            sel, num_valid, ray_kept, R, sg, k, t_min, t_max,
+            sel, num_valid, ray_kept, ray_ends, R, sg, k, t_min, t_max,
             render_step_size, capacity,
         )
 
@@ -623,7 +631,8 @@ def march_rays(
     # a ray is fully kept iff the cumulative live-sample count through it
     # fits in the capacity (truncated rays must be masked out of losses)
     per_ray = valid.sum(axis=1)
-    ray_kept = jnp.cumsum(per_ray) <= capacity
+    cum = jnp.cumsum(per_ray)
+    ray_kept = cum <= capacity
     return PackedSamples(
         ray_indices=ray_indices,
         t_starts=jnp.where(packed_valid, t_starts.reshape(-1)[safe], 0.0),
@@ -631,6 +640,7 @@ def march_rays(
         valid=packed_valid,
         num_valid=num_valid,
         ray_kept=ray_kept,
+        ray_ends=jnp.minimum(cum, capacity).astype(jnp.int32),
     )
 
 

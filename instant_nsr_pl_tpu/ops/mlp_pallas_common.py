@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 
@@ -53,9 +54,12 @@ def unpack_mlp_grads(dws, dbs, mlp_params, reorder_first_rows=None):
         d_in, d_out = layer["w"].shape
         dw = dws[row : row + d_in, :d_out]
         if li == 0 and reorder_first_rows is not None:
-            inv = jnp.zeros_like(reorder_first_rows).at[reorder_first_rows].set(
-                jnp.arange(reorder_first_rows.shape[0])
-            )
+            # the permutation is static (built from numpy at trace time), so
+            # invert it host-side: a traced `.at[perm].set(iota)` emits a
+            # runtime scatter, and today's TPU compiler merges same-index
+            # scatters into a variadic scatter whose emitter CHECK-crashes
+            # (scatter_emitter.cc ShouldFuseInputIntoScatter)
+            inv = np.argsort(np.asarray(reorder_first_rows))
             dw = dw[inv]
         out.append({"w": dw, "b": dbs[li, :d_out]})
         row += d_in

@@ -15,8 +15,69 @@ numerically safe because sums never cross segment boundaries.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def _segment_sum_sorted_impl(src, row_rays, ends):
+    """Segmented inclusive cumsum + one gather at the per-ray end offsets."""
+    prev = jnp.concatenate([jnp.full((1,), -1, row_rays.dtype), row_rays[:-1]])
+    flags = (row_rays != prev)[:, None]  # (N, 1), broadcasts over features
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, 0.0, av)
+
+    _, incl = jax.lax.associative_scan(combine, (flags, src))
+    incl_x = jnp.concatenate(
+        [jnp.zeros((1, src.shape[1]), src.dtype), incl], axis=0
+    )
+    starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+    return jnp.where((ends > starts)[:, None], incl_x[ends], 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_sum_sorted(src, row_rays, ends, n_rows):
+    """Scatter-free per-ray segment sum over a ray-sorted packed buffer.
+
+    The nerfacc ``accumulate_along_rays`` contraction (reference use:
+    models/nerf.py:105-108) as XLA-friendly vector ops: because the packed
+    buffer is sorted by ray with each ray's slots contiguous, the per-ray
+    sum is the segmented inclusive cumsum read at the ray's last slot —
+    one O(log N) associative scan (pure VPU) plus ONE gather of ``n_rows``
+    rows, instead of ``jax.ops.segment_sum``'s scatter-add, which the TPU
+    backend (a) executes as a serial ~58 ns/update loop and (b) crashes on
+    when two same-index scatters get horizontally fused into a variadic
+    scatter (scatter_emitter CHECK, observed with the fused Pallas kernels
+    active). The backward is the exact segment_sum VJP: a gather of each
+    row's ray cotangent. No cancellation: the segmented scan resets at ray
+    starts, so magnitudes stay per-ray.
+
+    Args:
+      src: (N, D) rows, already masked (invalid rows zero).
+      row_rays: (N,) int32 ascending ray id per row (padding = n_rows - 1).
+      ends: (n_rows,) int32 exclusive row offsets — ray r owns rows
+        [ends[r-1], ends[r]) (``PackedSamples.ray_ends``, possibly divided
+        by the block size when rows are pre-reduced blocks).
+      n_rows: static number of rays.
+    Returns:
+      (n_rows, D) per-ray sums.
+    """
+    return _segment_sum_sorted_impl(src, row_rays, ends)
+
+
+def _sss_fwd(src, row_rays, ends, n_rows):
+    return _segment_sum_sorted_impl(src, row_rays, ends), row_rays
+
+
+def _sss_bwd(n_rows, row_rays, ct):
+    return ct[row_rays], None, None
+
+
+segment_sum_sorted.defvjp(_sss_fwd, _sss_bwd)
 
 
 def _segment_starts(ray_indices, valid):
@@ -102,7 +163,8 @@ def render_weight_from_alpha(alpha, ray_indices, valid, group=1):
 
 
 def accumulate_along_rays(
-    weights, ray_indices, values=None, n_rays=None, valid=None, group=1
+    weights, ray_indices, values=None, n_rays=None, valid=None, group=1,
+    ends=None,
 ):
     """Per-ray sum of ``weights * values`` (nerfacc's ``accumulate_along_rays``).
 
@@ -113,6 +175,11 @@ def accumulate_along_rays(
       group: block size k under the single-ray-per-aligned-block guarantee
         (see ``segmented_cumsum``): blocks are pre-reduced so the segment
         sum runs over CAP/k rows.
+      ends: optional (n_rays,) ``PackedSamples.ray_ends`` slot offsets.
+        When given, the contraction runs scatter-free
+        (``segment_sum_sorted``); otherwise falls back to
+        ``jax.ops.segment_sum`` (scatter-add) for callers without the
+        packed-march layout guarantee.
     Returns:
       (n_rays, D) (D=1 when values is None).
     """
@@ -131,6 +198,9 @@ def accumulate_along_rays(
         g = cap // group
         src = src.reshape(g, group, d).sum(axis=1)
         ray_indices = ray_indices.reshape(g, group)[:, 0]
+    if ends is not None:
+        e = ends // group if group > 1 else ends
+        return segment_sum_sorted(src, ray_indices, e, n_rays)
     return jax.ops.segment_sum(
         src, ray_indices, num_segments=n_rays, indices_are_sorted=True
     )
