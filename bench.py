@@ -301,9 +301,11 @@ def main():
     )
     p.add_argument(
         "--workload",
-        default="nerf",
+        default=None,
         choices=("nerf", "neus"),
-        help="nerf (headline, default) or neus (the reference's slower family)",
+        help="nerf (headline) or neus (the reference's slower family); "
+        "default runs BOTH — neus first, nerf last (one JSON line each; "
+        "the driver parses the tail line, so the headline stays last)",
     )
     p.add_argument(
         "--mode",
@@ -346,12 +348,28 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.smoke:
         os.environ["INSR_BENCH_SMOKE"] = "1"
+    workloads = [args.workload] if args.workload else ["neus", "nerf"]
+    for workload in workloads:
+        try:
+            run_workload(args, workload)
+        except Exception:  # noqa: BLE001 — one workload must not kill the rest
+            if workload == workloads[-1]:
+                raise
+            import traceback
+
+            traceback.print_exc()
+
+
+def run_workload(args, workload):
     smoke = bool(os.environ.get("INSR_BENCH_SMOKE"))
     warm_steps, meas_steps = (16, 8) if smoke else (160, 96)
-    ab_warm, ab_meas = (8, 8) if smoke else (48, 32)
+    # A/B arms: 96 measured steps each, timed as 3 chunks whose per-step
+    # MEDIAN decides (round-2 VERDICT #8: 32-step wall-clocks flipped on
+    # occ-update amortization noise)
+    ab_warm, ab_chunk, ab_chunks = (8, 8, 1) if smoke else (48, 32, 3)
 
     def build():
-        if args.workload == "neus":
+        if workload == "neus":
             system = build_neus_system(encoding=args.encoding or "cp")
         else:
             system = build_system(encoding=args.encoding or "cp")
@@ -405,13 +423,13 @@ def main():
         rays_per_sec = h * w * n_imgs / dt
         baseline = (
             BASELINE_NEUS_RAYS_PER_SEC
-            if args.workload == "neus"
+            if workload == "neus"
             else BASELINE_RAYS_PER_SEC
         )
         print(
             json.dumps(
                 {
-                    "metric": f"eval_rays_per_sec_{args.workload}",
+                    "metric": f"eval_rays_per_sec_{workload}",
                     "value": round(rays_per_sec, 1),
                     "unit": "rays/s",
                     "vs_baseline": round(rays_per_sec / baseline, 4),
@@ -431,35 +449,50 @@ def main():
                 return True
         return False
 
-    def _time_steps(sys_, st, warm, n):
+    def _time_steps(sys_, st, warm, chunk, chunks):
+        """Median per-step time over ``chunks`` timed chunks of ``chunk``
+        steps each (occ-update amortization makes single wall-clocks noisy;
+        the median chunk is stable across runs — round-2 VERDICT #8)."""
         st, m = sys_.train_chunk(st, warm)
         float(m["train/loss"])
-        t0 = time.perf_counter()
-        st, m = sys_.train_chunk(st, n)
-        float(m["train/loss"])
-        return (time.perf_counter() - t0) / n, st
+        times = []
+        for _ in range(chunks):
+            t0 = time.perf_counter()
+            st, m = sys_.train_chunk(st, chunk)
+            float(m["train/loss"])
+            times.append((time.perf_counter() - t0) / chunk)
+        times.sort()
+        return times[len(times) // 2], st
 
-    if (
-        not args.no_ab
-        and not os.environ.get("INSR_DISABLE_FUSED")
-        and _uses_fused(system)
-    ):
+    ab_report = None
+    fused_was_disabled = bool(os.environ.get("INSR_DISABLE_FUSED"))
+    if not args.no_ab and not fused_was_disabled and _uses_fused(system):
         import sys as _sys
 
-        dt_fused, state = _time_steps(system, state, ab_warm, ab_meas)
+        dt_fused, state = _time_steps(system, state, ab_warm, ab_chunk, ab_chunks)
         os.environ["INSR_DISABLE_FUSED"] = "1"
         try:
             sys_b, st_b = build()
             st_b, m = sys_b.train_chunk(st_b, 1)
             float(m["train/loss"])
-            dt_comp, st_b = _time_steps(sys_b, st_b, ab_warm, ab_meas)
+            dt_comp, st_b = _time_steps(
+                sys_b, st_b, ab_warm, ab_chunk, ab_chunks
+            )
         except Exception:  # noqa: BLE001 — composed path must not kill the bench
             dt_comp, sys_b, st_b = float("inf"), None, None
         print(
-            f"bench A/B: fused {dt_fused * 1e3:.2f} ms/step vs composed "
-            f"{dt_comp * 1e3:.2f} ms/step",
+            f"bench A/B ({workload}): fused {dt_fused * 1e3:.2f} ms/step vs "
+            f"composed {dt_comp * 1e3:.2f} ms/step "
+            f"(median of {ab_chunks}x{ab_chunk}-step chunks)",
             file=_sys.stderr,
         )
+        ab_report = {
+            "fused_ms_per_step": round(dt_fused * 1e3, 3),
+            "composed_ms_per_step": round(dt_comp * 1e3, 3)
+            if dt_comp != float("inf")
+            else None,
+            "picked": "composed" if dt_comp < dt_fused else "fused",
+        }
         if dt_comp < dt_fused:
             system, state = sys_b, st_b
         else:
@@ -482,21 +515,23 @@ def main():
     rays_per_sec = system.active_num_rays * n_steps / dt
     baseline = (
         BASELINE_NEUS_RAYS_PER_SEC
-        if args.workload == "neus"
+        if workload == "neus"
         else BASELINE_RAYS_PER_SEC
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"train_rays_per_sec_{args.workload}"
-                if args.workload != "nerf"
-                else "train_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / baseline, 4),
-            }
-        )
-    )
+    line = {
+        "metric": f"train_rays_per_sec_{workload}"
+        if workload != "nerf"
+        else "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 4),
+    }
+    if ab_report is not None:
+        line["ab"] = ab_report
+    print(json.dumps(line), flush=True)
+    # A/B-driven env mutation must not leak into the next workload's run
+    if not fused_was_disabled:
+        os.environ.pop("INSR_DISABLE_FUSED", None)
 
 
 if __name__ == "__main__":

@@ -146,14 +146,19 @@ def sh_mlp_apply(mlp_params, features, dirs, mlp_spec, degree, n_pre):
 
 def _perm(mlp_spec, degree, n_pre, n_feat):
     """Permutation p with w_packed = w[p]: kernel row order
-    [pre-features, post-features(extras), SH]."""
+    [pre-features, post-features(extras), SH].
+
+    MUST stay a host-side numpy array: it rides through the custom-VJP
+    into pack_mlp/unpack_mlp_grads, which invert it with np.argsort at
+    trace time. A jnp array here becomes a tracer under jit/scan/
+    shard_map and crashes the backward (round-2 VERDICT #1)."""
     import numpy as np
 
     s = sh_output_dim(degree)
     pre = list(range(n_pre))
     sh_rows = list(range(n_pre, n_pre + s))
     post = list(range(n_pre + s, mlp_spec.dim_in))
-    return jnp.asarray(np.array(pre + post + sh_rows, dtype=np.int32))
+    return np.array(pre + post + sh_rows, dtype=np.int32)
 
 
 def _fwd_impl(mlp_params, features, dirs, mlp_spec, degree, n_pre):

@@ -25,14 +25,18 @@ from instant_nsr_pl_tpu.ops.ray import get_rays
 from instant_nsr_pl_tpu.systems.optimizers import make_optimizer
 
 
-def C(value, step):
+def C(value, step, epoch_steps=None):
     """Scheduled scalar: float, or [start_step, start_val, end_val, end_step]
     (or the 3-element form with start_step=0), linearly interpolated by step.
 
     Mirrors the reference's ``BaseSystem.C`` (systems/base.py:28-45), as a
     pure traced function. The reference's epoch-based interpolation (spelled
-    by a FLOAT ``end_step``) is intentionally unsupported — the loop is
-    step-based — and rejected loudly rather than silently misread.
+    by a FLOAT ``end_step``, reference systems/base.py:36-44: interpolate by
+    ``current_epoch`` with start/end in epochs) is translated to steps via
+    ``epoch_steps`` — the train split's image count, one nominal pass over
+    the dataset per epoch. (The reference's own train split is an infinite
+    iterable, so PL never finishes an epoch there; the translation gives the
+    spec its documented meaning instead of the degenerate frozen value.)
     """
     if isinstance(value, (int, float)):
         return jnp.float32(value)
@@ -42,11 +46,15 @@ def C(value, step):
     assert len(value) == 4, f"bad scheduled value spec {value}"
     start_step, start_value, end_value, end_step = value
     if not isinstance(end_step, int):
-        raise ValueError(
-            f"scheduled value {value}: a float end_step selects the "
-            "reference's epoch-based interpolation, which this step-based "
-            "trainer does not support — use integer steps"
-        )
+        if not epoch_steps:
+            raise ValueError(
+                f"scheduled value {value}: a float end_step selects the "
+                "reference's epoch-based interpolation; this system has no "
+                "dataset length to translate epochs->steps (call setup_data "
+                "first, or use integer steps)"
+            )
+        start_step = int(round(float(start_step) * epoch_steps))
+        end_step = int(round(float(end_step) * epoch_steps))
     t = jnp.clip(
         (jnp.asarray(step, jnp.float32) - start_step) / max(end_step - start_step, 1),
         0.0,
@@ -155,6 +163,12 @@ class BaseSystem:
         self.data = None  # set by setup_data
         self._jitted = {}
 
+    def C(self, value, step):
+        """Bound scheduled-scalar evaluator: resolves epoch-based specs
+        (float end_step) against this system's train split length, matching
+        the reference's ``self.C`` (reference systems/base.py:28-45)."""
+        return C(value, step, epoch_steps=getattr(self, "steps_per_epoch", None))
+
     # -- data ---------------------------------------------------------------
     def setup_data(self, dataset):
         """Move a dataset split's arrays onto device.
@@ -169,6 +183,9 @@ class BaseSystem:
         self.w = int(dataset.w)
         self.h = int(dataset.h)
         self.n_images = int(self.data["images"].shape[0])
+        # epoch->step translation base for C() / interval:epoch schedulers:
+        # one nominal epoch = one pass over the train split's images
+        self.steps_per_epoch = self.n_images
         self.has_mask = bool(getattr(dataset, "has_mask", False))
         self.apply_mask = bool(getattr(dataset, "apply_mask", False))
         self.shared_directions = self.data["directions"].ndim == 3
@@ -183,6 +200,7 @@ class BaseSystem:
             self.config.system.optimizer,
             self.config.system.get("scheduler", None),
             params,
+            epoch_steps=getattr(self, "steps_per_epoch", None),
         )
         self.tx = tx
         self.lr_fn = lr_fn
@@ -530,14 +548,20 @@ class BaseSystem:
         if "render" not in self._jitted:
             self._jitted["render"] = self.make_render_chunk()
 
+        # padding rays must consume ZERO packed capacity, or they steal
+        # samples from real rays in the retry passes below: aim them away
+        # from the scene AABB so the slab test yields an empty interval
+        pad_o = jnp.asarray(
+            [2.0 * float(getattr(self.model, "radius", 1.0)) + 10.0, 0.0, 0.0]
+        )
+        pad_d = jnp.asarray([1.0, 0.0, 0.0])
+
         def render_chunk_np(ro, rd):
             n_real = ro.shape[0]
             if n_real < chunk:  # pad to the static chunk size
                 pad = chunk - n_real
-                ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
-                rd = jnp.concatenate(
-                    [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))]
-                )
+                ro = jnp.concatenate([ro, jnp.broadcast_to(pad_o, (pad, 3))])
+                rd = jnp.concatenate([rd, jnp.broadcast_to(pad_d, (pad, 3))])
             out = self._jitted["render"](state, ro, rd)
             return {k: np.asarray(v)[:n_real] for k, v in out.items()}
 
@@ -550,37 +574,62 @@ class BaseSystem:
         }
 
         # rays whose packed samples overflowed the static eval capacity
-        # (``rays_kept`` False) rendered incomplete — re-render them in
-        # follow-up passes where fewer rays share the same capacity. Bounded:
-        # each pass renders at least capacity/max_live rays completely.
+        # (``rays_kept`` False) rendered incomplete — re-render them with a
+        # halving group size so fewer rays share the same capacity each pass.
+        # Complete by construction: a group of 1 gives one ray the whole
+        # capacity (>= num_samples_per_ray for any sane config), matching the
+        # reference's contract that chunk_batch renders every pixel
+        # (reference models/utils.py:13-50).
         if "rays_kept" in merged:
-            for _ in range(4):
+            group_size, prev_bad = chunk, None
+            while True:
                 bad = np.nonzero(~merged["rays_kept"][:, 0].astype(bool))[0]
                 if len(bad) == 0:
                     break
-                for bstart in range(0, len(bad), chunk):
-                    group = bad[bstart : bstart + chunk]
+                if group_size == 1 and prev_bad is not None and len(bad) >= prev_bad:
+                    raise RuntimeError(
+                        f"render_image: {len(bad)}/{n} rays exceed the eval "
+                        f"capacity {self.eval_capacity} even rendered alone "
+                        f"(num_samples_per_ray > eval capacity?); raise "
+                        "model.eval_num_samples"
+                    )
+                prev_bad = len(bad)
+                for bstart in range(0, len(bad), group_size):
+                    group = bad[bstart : bstart + group_size]
                     retry = render_chunk_np(rays_o[group], rays_d[group])
                     kept_now = retry["rays_kept"][:, 0].astype(bool)
                     for k in merged:
                         merged[k][group[kept_now]] = retry[k][kept_now]
-            residual = int((~merged["rays_kept"][:, 0].astype(bool)).sum())
-            if residual:
-                # silent truncation once cost +5.5 dB (round-1 stripe bug) —
-                # never drop rays quietly
-                import warnings
-
-                warnings.warn(
-                    f"render_image: {residual}/{n} rays still truncated "
-                    f"after 4 retry passes (eval capacity "
-                    f"{self.eval_capacity} too small for this scene); "
-                    "their pixels are incomplete",
-                    stacklevel=2,
-                )
+                group_size = max(group_size // 2, 1)
             merged.pop("rays_kept")
 
         images = {}
         for k, v in merged.items():
             images[k] = v.reshape(h, w, -1)
         return images
+
+    def evaluate_image(self, state, index: int, data=None):
+        """Render one eval view and compute PSNR + SSIM vs GT (reference
+        validation_step, systems/nerf.py:136-148; the reference constructs
+        SSIM (criterions.py:55-152) but never calls it — we log it). Eval
+        renders on white, so masked GT is composited onto white too (the
+        reference does this in preprocess_data, systems/nerf.py:78-79)."""
+        import numpy as np
+
+        from instant_nsr_pl_tpu.systems.criterions import psnr, ssim
+
+        data = data if data is not None else self.data
+        images = self.render_image(state, index, data=data)
+        gt = np.asarray(pixels_to_f32(data["images"][index]))
+        if self.apply_mask:
+            mask = np.asarray(pixels_to_f32(data["fg_masks"][index]))[..., None]
+            gt = gt * mask + (1.0 - mask)
+        pred = jnp.asarray(images["comp_rgb"])
+        gt_j = jnp.asarray(gt)
+        return {
+            "psnr": float(psnr(pred, gt_j)),
+            "ssim": float(ssim(pred, gt_j)),
+            "images": images,
+            "gt": gt,
+        }
 

@@ -91,7 +91,9 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, data_range=1.0):
     def blur(x):
         # depthwise 2-D gaussian blur via two 1-D convs per channel
         def conv_channel(c):
-            c = jnp.pad(c, window_size // 2, mode="edge")
+            # reflect padding matches the torch impl the reference vendors
+            # (F.conv2d after ReflectionPad; systems/criterions.py:55-152)
+            c = jnp.pad(c, window_size // 2, mode="reflect")
             c = jax.scipy.signal.convolve2d(c, kernel, mode="valid")
             return c
 

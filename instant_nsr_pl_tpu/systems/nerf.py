@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.registry import systems
-from instant_nsr_pl_tpu.systems.base import BaseSystem, C, pixels_to_f32
+from instant_nsr_pl_tpu.systems.base import BaseSystem
 from instant_nsr_pl_tpu.systems.criterions import psnr, smooth_l1_loss
 from instant_nsr_pl_tpu.ops.rendering import distortion_loss
 
@@ -50,7 +50,7 @@ class NeRFSystem(BaseSystem):
         ).mean(-1)
         loss_rgb = (per_ray * mask).sum() / denom
         metrics["train/loss_rgb"] = loss_rgb
-        loss = loss + loss_rgb * C(loss_cfg.lambda_rgb, step)
+        loss = loss + loss_rgb * self.C(loss_cfg.lambda_rgb, step)
 
         lambda_dist = loss_cfg.get("lambda_distortion", 0.0)
         if not _is_zero(lambda_dist):
@@ -64,7 +64,7 @@ class NeRFSystem(BaseSystem):
                 group=self.model.packed_group(capacity),
             )
             metrics["train/loss_distortion"] = loss_dist
-            loss = loss + loss_dist * C(lambda_dist, step)
+            loss = loss + loss_dist * self.C(lambda_dist, step)
 
         metrics["train/num_samples"] = out["num_samples"]
         metrics["train/psnr"] = psnr(
@@ -91,22 +91,6 @@ class NeRFSystem(BaseSystem):
             "opacity": out["opacity"],
             "rays_kept": out["rays_kept"][:, None],
         }
-
-    def evaluate_image(self, state, index: int, data=None):
-        """Render one eval view and compute PSNR vs GT (reference
-        validation_step, systems/nerf.py:136-148). Eval renders on white, so
-        masked GT is composited onto white too (the reference does this in
-        preprocess_data, systems/nerf.py:78-79)."""
-        import numpy as np
-
-        data = data if data is not None else self.data
-        images = self.render_image(state, index, data=data)
-        gt = np.asarray(pixels_to_f32(data["images"][index]))
-        if self.apply_mask:
-            mask = np.asarray(pixels_to_f32(data["fg_masks"][index]))[..., None]
-            gt = gt * mask + (1.0 - mask)
-        value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
-        return {"psnr": value, "images": images, "gt": gt}
 
     def image_grid_specs(self, res):
         """Validation panel layout: gt | rgb | depth | opacity (reference

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from instant_nsr_pl_tpu.registry import systems
-from instant_nsr_pl_tpu.systems.base import BaseSystem, C, pixels_to_f32
+from instant_nsr_pl_tpu.systems.base import BaseSystem
 from instant_nsr_pl_tpu.systems.criterions import (
     binary_cross_entropy,
     l1_loss,
@@ -83,19 +83,19 @@ class NeuSSystem(BaseSystem):
             out["comp_rgb_full"], batch["rgb"], weight=ray_mask, reduction="sum"
         ) / jnp.maximum(ray_mask.sum() * 3.0, 1.0)
         metrics["train/loss_rgb_mse"] = loss_rgb_mse
-        loss = loss + loss_rgb_mse * C(cfg.lambda_rgb_mse, step)
+        loss = loss + loss_rgb_mse * self.C(cfg.lambda_rgb_mse, step)
 
         loss_rgb_l1 = l1_loss(
             out["comp_rgb_full"], batch["rgb"], weight=ray_mask, reduction="sum"
         ) / jnp.maximum(ray_mask.sum() * 3.0, 1.0)
         metrics["train/loss_rgb_l1"] = loss_rgb_l1
-        loss = loss + loss_rgb_l1 * C(cfg.get("lambda_rgb_l1", 0.0), step)
+        loss = loss + loss_rgb_l1 * self.C(cfg.get("lambda_rgb_l1", 0.0), step)
 
         # eikonal (reference systems/neus.py:106-108)
         grad_norm = jnp.linalg.norm(out["sdf_grad_samples"], axis=-1)
         loss_eikonal = _masked_mean((grad_norm - 1.0) ** 2, sample_mask)
         metrics["train/loss_eikonal"] = loss_eikonal
-        loss = loss + loss_eikonal * C(cfg.lambda_eikonal, step)
+        loss = loss + loss_eikonal * self.C(cfg.lambda_eikonal, step)
 
         # mask BCE (reference systems/neus.py:110-113)
         opacity = jnp.clip(out["opacity"][:, 0], 1e-3, 1.0 - 1e-3)
@@ -107,13 +107,13 @@ class NeuSSystem(BaseSystem):
             )
             loss_mask = (bce * keep).sum() / jnp.maximum(keep.sum(), 1.0)
             metrics["train/loss_mask"] = loss_mask
-            loss = loss + loss_mask * C(cfg.lambda_mask, step)
+            loss = loss + loss_mask * self.C(cfg.lambda_mask, step)
 
         # opaque BCE(o, o) (reference systems/neus.py:115-117)
         if not _is_zero(cfg.get("lambda_opaque", 0.0)):
             loss_opaque = binary_cross_entropy(opacity, opacity)
             metrics["train/loss_opaque"] = loss_opaque
-            loss = loss + loss_opaque * C(cfg.lambda_opaque, step)
+            loss = loss + loss_opaque * self.C(cfg.lambda_opaque, step)
 
         # sparsity (reference systems/neus.py:119-121)
         if not _is_zero(cfg.get("lambda_sparsity", 0.0)):
@@ -122,7 +122,7 @@ class NeuSSystem(BaseSystem):
                 jnp.exp(-scale * jnp.abs(out["sdf_samples"])), sample_mask
             )
             metrics["train/loss_sparsity"] = loss_sparsity
-            loss = loss + loss_sparsity * C(cfg.lambda_sparsity, step)
+            loss = loss + loss_sparsity * self.C(cfg.lambda_sparsity, step)
 
         # curvature via finite-difference laplacian (reference systems/neus.py:123-127)
         if not _is_zero(cfg.get("lambda_curvature", 0.0)):
@@ -133,7 +133,7 @@ class NeuSSystem(BaseSystem):
                 jnp.abs(out["sdf_laplace_samples"]), sample_mask
             )
             metrics["train/loss_curvature"] = loss_curvature
-            loss = loss + loss_curvature * C(cfg.lambda_curvature, step)
+            loss = loss + loss_curvature * self.C(cfg.lambda_curvature, step)
 
         # distortion fg/bg (reference systems/neus.py:129-139)
         if not _is_zero(cfg.get("lambda_distortion", 0.0)):
@@ -144,7 +144,7 @@ class NeuSSystem(BaseSystem):
                 group=self.model.packed_group(capacity),
             )
             metrics["train/loss_distortion"] = loss_dist
-            loss = loss + loss_dist * C(cfg.lambda_distortion, step)
+            loss = loss + loss_dist * self.C(cfg.lambda_distortion, step)
         if self.model.learned_background and not _is_zero(
             cfg.get("lambda_distortion_bg", 0.0)
         ):
@@ -154,7 +154,7 @@ class NeuSSystem(BaseSystem):
                 n_rays=n_rays,
             )
             metrics["train/loss_distortion_bg"] = loss_dist_bg
-            loss = loss + loss_dist_bg * C(cfg.lambda_distortion_bg, step)
+            loss = loss + loss_dist_bg * self.C(cfg.lambda_distortion_bg, step)
 
         metrics["train/inv_s"] = out["inv_s"]
         metrics["train/num_samples"] = out["num_samples_full"]
@@ -189,18 +189,6 @@ class NeuSSystem(BaseSystem):
             res["comp_rgb_fg"] = out["comp_rgb"]
             res["comp_rgb_bg"] = out["comp_rgb_bg"]
         return res
-
-    def evaluate_image(self, state, index: int, data=None):
-        import numpy as np
-
-        data = data if data is not None else self.data
-        images = self.render_image(state, index, data=data)
-        gt = np.asarray(pixels_to_f32(data["images"][index]))
-        if self.apply_mask:
-            mask = np.asarray(pixels_to_f32(data["fg_masks"][index]))[..., None]
-            gt = gt * mask + (1.0 - mask)
-        value = float(psnr(jnp.asarray(images["comp_rgb"]), jnp.asarray(gt)))
-        return {"psnr": value, "images": images, "gt": gt}
 
     def image_grid_specs(self, res):
         """Validation panels: gt | rgb_full | [fg | bg] | depth | normal

@@ -136,14 +136,15 @@ _FACTORY = {
 }
 
 
-def make_factor_schedule(cfg):
+def make_factor_schedule(cfg, epoch_steps=None):
     """Scheduler config -> fn(step) -> multiplicative factor.
 
     Accepts the reference's scheduler config shape: ``{name, interval,
     args: {...}, [schedulers], [milestones]}`` (reference systems/utils.py:
-    328-346). ``interval: epoch`` is intentionally unsupported — the training
-    loop is step-based (the reference's train sets are infinite iterables, so
-    its own epoch == one pass of val_check_interval anyway).
+    328-346). ``interval: epoch`` (torch semantics: the scheduler steps once
+    per epoch, so its counter is the epoch number) is translated to the
+    step-based loop by evaluating the schedule on ``floor(step/epoch_steps)``
+    where one nominal epoch = one pass over the train split's images.
     """
     if cfg is None:
         return lambda step: jnp.ones((), jnp.float32)
@@ -151,15 +152,30 @@ def make_factor_schedule(cfg):
     if name not in _FACTORY:
         raise ValueError(f"Unknown scheduler '{name}'. Known: {sorted(_FACTORY)}")
     interval = cfg.get("interval", "step")
-    if interval != "step":
-        raise ValueError("only interval: step is supported (step-based loop)")
+    if interval not in ("step", "epoch"):
+        raise ValueError(f"scheduler interval must be step|epoch, got {interval}")
     args = dict(cfg.get("args", {}).items()) if "args" in cfg else {}
-    # Sequential/Chained carry children at the top level
+    # Sequential/Chained carry children at the top level; children inherit
+    # the parent's interval translation (torch steps the whole composite at
+    # the parent's cadence), so they are built with interval: step here
     if "schedulers" in cfg:
-        args["schedulers"] = list(cfg["schedulers"])
+        args["schedulers"] = [
+            dict(c, interval="step") if hasattr(c, "keys") else c
+            for c in cfg["schedulers"]
+        ]
     if "milestones" in cfg and "milestones" not in args:
         args["milestones"] = list(cfg["milestones"])
-    return _FACTORY[name](args)
+    sched = _FACTORY[name](args)
+    if interval == "epoch":
+        if not epoch_steps:
+            raise ValueError(
+                "scheduler interval: epoch needs a dataset length to "
+                "translate epochs->steps (build the system with setup_data "
+                "before init_state)"
+            )
+        base = sched
+        sched = lambda step: base(jnp.floor(step / epoch_steps))  # noqa: E731
+    return sched
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +198,7 @@ def _base_optimizer(name, lr_schedule, args):
     raise ValueError(f"Unknown optimizer '{name}'")
 
 
-def make_optimizer(optimizer_cfg, scheduler_cfg, params_example):
+def make_optimizer(optimizer_cfg, scheduler_cfg, params_example, epoch_steps=None):
     """Build the optax GradientTransformation for a config.
 
     Mirrors ``parse_optimizer`` + ``parse_scheduler`` (reference
@@ -196,7 +212,7 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, params_example):
     name = optimizer_cfg["name"]
     args = dict(optimizer_cfg.get("args", {}).items())
     base_lr = float(args.get("lr", 1e-3))
-    factor = make_factor_schedule(scheduler_cfg)
+    factor = make_factor_schedule(scheduler_cfg, epoch_steps=epoch_steps)
 
     group_cfg = optimizer_cfg.get("params", None)
     top_keys = sorted(params_example.keys())

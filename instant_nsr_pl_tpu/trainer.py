@@ -166,16 +166,20 @@ class Trainer:
 
     def _run_validation(self, system, state, val_data, step):
         n = min(int(val_data["images"].shape[0]), self.limit_val_batches)
-        psnrs = []
+        psnrs, ssims = [], []
         for i in range(n):
             res = system.evaluate_image(state, i, data=val_data)
             psnrs.append(res["psnr"])
+            ssims.append(res["ssim"])
             if self.is_main:
                 specs = system.image_grid_specs(res)
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-{i}.png", specs
                 )
-        self._log({"val/psnr": float(np.mean(psnrs))}, step)
+        self._log(
+            {"val/psnr": float(np.mean(psnrs)), "val/ssim": float(np.mean(ssims))},
+            step,
+        )
         return float(np.mean(psnrs))
 
     # -- validate / test / predict ----------------------------------------
@@ -190,17 +194,18 @@ class Trainer:
         data = data_arrays(dm.test)
         step = int(state["step"])
         n = int(data["images"].shape[0])
-        psnrs = []
+        psnrs, ssims = [], []
         for i in range(n):
             res = system.evaluate_image(state, i, data=data)
             psnrs.append(res["psnr"])
+            ssims.append(res["ssim"])
             if self.is_main:
                 specs = system.image_grid_specs(res)
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-test/{i}.png", specs
                 )
         psnr = float(np.mean(psnrs))
-        self._log({"test/psnr": psnr}, step)
+        self._log({"test/psnr": psnr, "test/ssim": float(np.mean(ssims))}, step)
         if self.is_main:
             savers.save_img_sequence(
                 self.save_dir,

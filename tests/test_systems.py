@@ -32,11 +32,25 @@ def test_scheduled_scalar():
     assert abs(float(C([1.0, 0.0, 10], 5)) - 0.5) < 1e-6
 
 
-def test_scheduled_scalar_rejects_epoch_interpolation():
+def test_scheduled_scalar_rejects_epoch_interpolation_without_length():
     """A float end_step selects the reference's epoch interpolation
-    (reference systems/base.py:40-44) — unsupported here, rejected loudly."""
+    (reference systems/base.py:40-44); without a dataset length there is
+    nothing to translate epochs->steps against — rejected loudly."""
     with pytest.raises(ValueError, match="epoch"):
         C([100, 0.0, 1.0, 200.0], 0)
+
+
+def test_scheduled_scalar_epoch_translation():
+    """Float end_step + epoch_steps: epochs translate to steps at one nominal
+    pass over the train split per epoch (reference systems/base.py:36-44
+    interpolates by current_epoch)."""
+    spec = [1.0, 0.0, 1.0, 3.0]  # epochs 1..3
+    es = 100
+    assert float(C(spec, 0, epoch_steps=es)) == 0.0
+    assert float(C(spec, 100, epoch_steps=es)) == 0.0
+    assert abs(float(C(spec, 200, epoch_steps=es)) - 0.5) < 1e-6
+    assert float(C(spec, 300, epoch_steps=es)) == 1.0
+    assert float(C(spec, 999, epoch_steps=es)) == 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +146,39 @@ def test_sequential_schedule_matches_torch():
     torch_lrs = _torch_factors(ctor, 15)
     our_lrs = np.array([float(ours(s)) for s in range(15)])
     np.testing.assert_allclose(our_lrs, torch_lrs, rtol=1e-5, atol=1e-7)
+
+
+def test_epoch_interval_schedule_matches_torch_per_epoch_stepping():
+    """interval: epoch (reference systems/utils.py:328-346 with torch
+    semantics: scheduler.step() once per epoch) translated onto the
+    step-based loop via floor(step / steps_per_epoch)."""
+    import torch
+
+    epoch_steps = 7
+    cfg = config_from_dict(
+        {
+            "name": "ExponentialLR",
+            "interval": "epoch",
+            "args": {"gamma": 0.9},
+        }
+    )
+    ours = make_factor_schedule(cfg, epoch_steps=epoch_steps)
+    torch_lrs = _torch_factors(
+        lambda o: torch.optim.lr_scheduler.ExponentialLR(o, 0.9), 5
+    )
+    for step in range(5 * epoch_steps):
+        epoch = step // epoch_steps
+        np.testing.assert_allclose(
+            float(ours(step)), torch_lrs[epoch], rtol=1e-5, atol=1e-7
+        )
+
+
+def test_epoch_interval_without_length_rejected():
+    cfg = config_from_dict(
+        {"name": "ExponentialLR", "interval": "epoch", "args": {"gamma": 0.9}}
+    )
+    with pytest.raises(ValueError, match="epoch"):
+        make_factor_schedule(cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +288,32 @@ def test_nerf_system_trains():
     res = system.evaluate_image(state, 0, data=system_val_data)
     assert res["images"]["comp_rgb"].shape == (64, 64, 3)
     assert np.isfinite(res["psnr"])
+
+
+def test_epoch_based_config_trains_without_edits():
+    """A config spelling schedules in epochs — float end_step in a loss
+    lambda (reference systems/base.py:36-44) + scheduler interval: epoch
+    (reference systems/utils.py:328-346) — trains unmodified: epochs are
+    translated to steps from the train split's image count."""
+    cfg = _nerf_config().to_dict()
+    cfg["system"]["loss"]["lambda_rgb"] = [0.0, 0.5, 1.0, 2.0]  # epochs 0..2
+    cfg["system"]["scheduler"] = {
+        "name": "ExponentialLR",
+        "interval": "epoch",
+        "args": {"gamma": 0.9},
+    }
+    cfg = config_from_dict(cfg)
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    assert system.steps_per_epoch == 12  # n_train images
+    # the bound C resolves epoch specs against the split length
+    assert abs(float(system.C([0.0, 0.0, 1.0, 2.0], 12)) - 0.5) < 1e-6
+    state = system.init_state(seed=0)
+    for _ in range(3):
+        state, metrics = system.train_step(state)
+    assert np.isfinite(float(metrics["train/loss"]))
 
 
 def _neus_config(size=64):
