@@ -469,34 +469,48 @@ def run_workload(args, workload):
     if not args.no_ab and not fused_was_disabled and _uses_fused(system):
         import sys as _sys
 
+        # three arms: everything fused / only the density head fused (the
+        # TPU microbench has the fused radiance slightly SLOWER than
+        # composed) / everything composed. Keep whichever measures fastest.
         dt_fused, state = _time_steps(system, state, ab_warm, ab_chunk, ab_chunks)
-        os.environ["INSR_DISABLE_FUSED"] = "1"
-        try:
-            sys_b, st_b = build()
-            st_b, m = sys_b.train_chunk(st_b, 1)
-            float(m["train/loss"])
-            dt_comp, st_b = _time_steps(
-                sys_b, st_b, ab_warm, ab_chunk, ab_chunks
-            )
-        except Exception:  # noqa: BLE001 — composed path must not kill the bench
-            dt_comp, sys_b, st_b = float("inf"), None, None
+        arms = {"fused": (dt_fused, system, state)}
+        for arm_name, env in (
+            ("density_only", "INSR_DISABLE_FUSED_SH"),
+            ("composed", "INSR_DISABLE_FUSED"),
+        ):
+            os.environ[env] = "1"
+            try:
+                sys_b, st_b = build()
+                if not _uses_fused(sys_b) and arm_name == "density_only":
+                    # radiance head wasn't fused to begin with — same program
+                    # as the fused arm, skip the duplicate measurement
+                    continue
+                st_b, m = sys_b.train_chunk(st_b, 1)
+                float(m["train/loss"])
+                dt_b, st_b = _time_steps(sys_b, st_b, ab_warm, ab_chunk, ab_chunks)
+                arms[arm_name] = (dt_b, sys_b, st_b)
+            except Exception:  # noqa: BLE001 — an arm must not kill the bench
+                pass
+            finally:
+                os.environ.pop(env, None)
+        picked = min(arms, key=lambda k: arms[k][0])
         print(
-            f"bench A/B ({workload}): fused {dt_fused * 1e3:.2f} ms/step vs "
-            f"composed {dt_comp * 1e3:.2f} ms/step "
-            f"(median of {ab_chunks}x{ab_chunk}-step chunks)",
+            f"bench A/B ({workload}): "
+            + " vs ".join(
+                f"{k} {v[0] * 1e3:.2f} ms/step" for k, v in arms.items()
+            )
+            + f" -> {picked} (median of {ab_chunks}x{ab_chunk}-step chunks)",
             file=_sys.stderr,
         )
         ab_report = {
-            "fused_ms_per_step": round(dt_fused * 1e3, 3),
-            "composed_ms_per_step": round(dt_comp * 1e3, 3)
-            if dt_comp != float("inf")
-            else None,
-            "picked": "composed" if dt_comp < dt_fused else "fused",
+            f"{k}_ms_per_step": round(v[0] * 1e3, 3) for k, v in arms.items()
         }
-        if dt_comp < dt_fused:
-            system, state = sys_b, st_b
-        else:
-            del os.environ["INSR_DISABLE_FUSED"]
+        ab_report["picked"] = picked
+        _, system, state = arms[picked]
+        if picked == "composed":
+            os.environ["INSR_DISABLE_FUSED"] = "1"
+        elif picked == "density_only":
+            os.environ["INSR_DISABLE_FUSED_SH"] = "1"
 
     # warm up: compile both occ-update variants + the scan-megastep chunk
     # (train_chunk: one dispatch per grid-update interval — the production
@@ -529,9 +543,10 @@ def run_workload(args, workload):
     if ab_report is not None:
         line["ab"] = ab_report
     print(json.dumps(line), flush=True)
-    # A/B-driven env mutation must not leak into the next workload's run
+    # A/B-driven env mutations must not leak into the next workload's run
     if not fused_was_disabled:
         os.environ.pop("INSR_DISABLE_FUSED", None)
+    os.environ.pop("INSR_DISABLE_FUSED_SH", None)
 
 
 if __name__ == "__main__":

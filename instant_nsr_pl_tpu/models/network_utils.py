@@ -366,8 +366,11 @@ class EncodingWithNetwork:
             and not encoding.include_xyz
             and isinstance(inner, CPEncoding)
             and inner.grad_mode == "fast"
-            # escape hatch for unattended runs (bench fallback)
+            # escape hatches for unattended runs (bench fallback) and for
+            # the bench A/B's per-head arms (INSR_DISABLE_FUSED_CP gates
+            # just the density head, _SH just the radiance head)
             and not os.environ.get("INSR_DISABLE_FUSED")
+            and not os.environ.get("INSR_DISABLE_FUSED_CP")
         ):
             from instant_nsr_pl_tpu.ops.cp_mlp_pallas import fusable
 

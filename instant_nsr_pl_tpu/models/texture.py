@@ -57,10 +57,14 @@ class VolumeRadiance:
         import os
 
         default_fused = sh_ok and jax.default_backend() == "tpu"
+        # INSR_DISABLE_FUSED_SH gates just this head (the bench A/B measures
+        # density-fused + radiance-composed as its own arm: the TPU microbench
+        # has the fused radiance ~0.2 ms/262k SLOWER than composed)
         self.fused = (
             bool(config.get("fused", default_fused))
             and sh_ok
             and not os.environ.get("INSR_DISABLE_FUSED")
+            and not os.environ.get("INSR_DISABLE_FUSED_SH")
         )
         if self.fused:
             from instant_nsr_pl_tpu.ops.sh_mlp_pallas import fusable
