@@ -236,6 +236,49 @@ def probe_bricks_coords(bricks, cx, cy, cz, resolution: int):
     return ((word >> bit) & 1).astype(bool).reshape(shp)
 
 
+def _lane_min_pow2(x, r: int):
+    """Min over aligned r-lane groups (r a power of two): (R, L) -> (R, L/r)
+    via pairwise lane-strided minima (cheap lane shuffles; never builds an
+    (M, r)-shaped tensor whose unit-ish trailing dim XLA tile-pads 32x)."""
+    while r > 1:
+        x = jnp.minimum(x[:, 0::2], x[:, 1::2])
+        r //= 2
+    return x
+
+
+def probe_bricks_lanes(bricks, cx, cy, cz, resolution: int):
+    """Lane-native variant of :func:`probe_bricks_coords` for (R, SG) int32
+    cell coords (SG % BRICK_RUN == 0, runs aligned along the lane axis).
+
+    Same math, bit-identical results; all intermediates stay (R, SG) or
+    (R, SG/r, 128) — shapes whose minor dims map onto the (8, 128) tile
+    without padding. The round-2 step trace showed ~2 ms/step of pure
+    relayout (broadcast/reshape/copy) from the (M, r)-shaped formulation."""
+    nb = resolution // 8
+    r = BRICK_RUN
+    R, SG = cx.shape
+    bx = _lane_min_pow2(cx, r)  # (R, SG/r) run-min cell coords
+    by = _lane_min_pow2(cy, r)
+    bz = _lane_min_pow2(cz, r)
+    bbx, bby, bbz = bx >> 3, by >> 3, bz >> 3
+    bid = (bbz * nb + bby) * nb + bbx  # (R, SG/r)
+    rows = bricks[bid.reshape(-1)].reshape(R, SG // r, 128)  # the only gather
+    lx = (cx - jnp.repeat(bbx << 3, r, axis=1)).astype(jnp.uint32)
+    ly = (cy - jnp.repeat(bby << 3, r, axis=1)).astype(jnp.uint32)
+    lz = (cz - jnp.repeat(bbz << 3, r, axis=1)).astype(jnp.uint32)
+    w = ((ly >> 1) + 8 * lz).astype(jnp.int32)  # (R, SG) word index
+    bit = lx + 16 * (ly & 1)
+    # virtual (R, SG, 128) select-reduce: the repeat is a broadcast + a
+    # row-major-preserving reshape, both fusable — rows stream from HBM
+    # once, nothing (R, SG, 128)-shaped is materialized
+    rows_rep = jnp.repeat(rows, r, axis=1)  # (R, SG, 128) virtual
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, SG, 128), 2)
+    word = jnp.where(lanes == w[..., None], rows_rep, jnp.uint32(0)).sum(
+        -1, dtype=jnp.uint32
+    )
+    return ((word >> bit) & 1).astype(bool)
+
+
 def _cell_coords(indices, resolution):
     ix = indices % resolution
     iy = (indices // resolution) % resolution
@@ -474,6 +517,81 @@ def _expand_groups(
     )
 
 
+def _march_groups_lanes(
+    rays_o, rays_d, t_min, t_max, *, render_step_size, max_samples,
+    capacity, occ_spec, occ_dilated, occ_stride, occ_bricks,
+):
+    """Group-compacted strided march with every intermediate (R, S/k)-shaped.
+
+    The general path materializes (R, S+1)/(R, S) schedules and reshapes
+    probe data through (M, BRICK_RUN)-shaped tensors whose trailing dims
+    XLA tile-pads to 128 lanes — the round-2 step trace measured ~2.5 ms
+    of resulting broadcast/reshape/copy HLOs per step. Here the uniform
+    step schedule is evaluated closed-form per GROUP (t[i] = t_min + i*s,
+    float-expression-identical to _t_schedule's cone_angle<=0 branch, so
+    packed outputs are bitwise equal) and per-sample validity counts are
+    k fused (R, S/k) comparisons instead of an (R, S) materialization."""
+    R = rays_o.shape[0]
+    S = max_samples
+    k = occ_stride
+    step = render_step_size
+    assert S % k == 0, (S, k)
+    assert capacity % k == 0, (capacity, k)
+    sg = S // k
+    ig = jnp.arange(sg, dtype=jnp.float32)[None, :]  # (1, SG)
+    t0 = t_min[:, None]
+
+    # group-center distances (bitwise = 0.5*(t_bounds[:, ::k] + t_bounds[:, k::k]))
+    t_c = 0.5 * ((t0 + (ig * k) * step) + (t0 + ((ig + 1.0) * k) * step))
+    px = rays_o[:, 0:1] + rays_d[:, 0:1] * t_c  # (R, SG)
+    py = rays_o[:, 1:2] + rays_d[:, 1:2] * t_c
+    pz = rays_o[:, 2:3] + rays_d[:, 2:3] * t_c
+
+    cell = 2.0 * occ_spec.radius / occ_spec.resolution
+    use_bricks = (
+        occ_bricks is not None
+        and occ_bricks.shape[0] == (occ_spec.resolution // 8) ** 3
+        and occ_spec.contraction_type == ContractionType.AABB
+        and sg % BRICK_RUN == 0
+        and (BRICK_RUN - 1) * k * step <= 7.0 * cell
+    )
+    if use_bricks:
+        cx, cy, cz, _ = occupancy_cells_coords(px, py, pz, occ_spec)
+        occ_g = probe_bricks_lanes(occ_bricks, cx, cy, cz, occ_spec.resolution)
+    else:
+        occ_g = occupancy_lookup_coords(
+            occ_dilated, px, py, pz, occ_spec, clamp=True
+        )
+
+    # first-sample midpoint of each group (bitwise = t_mid[:, ::k])
+    t_mid_g0 = 0.5 * ((t0 + (ig * k) * step) + (t0 + (ig * k + 1.0) * step))
+    gvalid = occ_g & (t_mid_g0 < t_max[:, None])  # (R, SG)
+
+    # true per-sample live count: k fused (R, SG) comparisons, each
+    # bitwise-identical to the general path's per-sample t_mid < t_max
+    tm = t_max[:, None]
+    num_valid = jnp.int32(0)
+    for j in range(k):
+        t_mid_j = 0.5 * (
+            (t0 + (ig * k + jnp.float32(j)) * step)
+            + (t0 + (ig * k + jnp.float32(j + 1)) * step)
+        )
+        num_valid = num_valid + (occ_g & (t_mid_j < tm)).sum().astype(jnp.int32)
+
+    src = jnp.arange(R * sg, dtype=jnp.int32)
+    keys = jnp.where(gvalid.reshape(-1), src, jnp.int32(R * sg))
+    (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
+    sel = sorted_keys[: capacity // k]  # (CAP/k,) group ids
+    per_ray_g = gvalid.sum(axis=1)
+    cum_g = jnp.cumsum(per_ray_g)
+    ray_kept = cum_g * k <= capacity
+    ray_ends = (jnp.minimum(cum_g, capacity // k) * k).astype(jnp.int32)
+    return _expand_groups(
+        sel, num_valid, ray_kept, ray_ends, R, sg, k, t_min, t_max,
+        step, capacity,
+    )
+
+
 def march_rays(
     rays_o,
     rays_d,
@@ -538,6 +656,23 @@ def march_rays(
         jitter = jax.random.uniform(rng, (R,)) * render_step_size
         t_min = t_min + jitter
 
+    if (
+        group_compact
+        and occ_binary is not None
+        and occ_stride > 1
+        and occ_dilated is not None
+        and cone_angle <= 0.0
+    ):
+        # lane-native fast path: all intermediates (R, S/k)-shaped; no
+        # (R, S) or (R, S+1) tensor is ever materialized (bit-identical
+        # outputs to the general path below — tests/test_marching_group.py)
+        return _march_groups_lanes(
+            rays_o, rays_d, t_min, t_max,
+            render_step_size=render_step_size, max_samples=S,
+            capacity=capacity, occ_spec=occ_spec, occ_dilated=occ_dilated,
+            occ_stride=occ_stride, occ_bricks=occ_bricks,
+        )
+
     t_bounds = _t_schedule(t_min, render_step_size, cone_angle, S)  # (R, S+1)
     t_starts = t_bounds[:, :-1]
     t_ends = t_bounds[:, 1:]
@@ -588,29 +723,11 @@ def march_rays(
         valid = valid & occ
 
     if group_compact:
-        assert occ_g is not None and cone_angle <= 0.0, (
+        # valid group_compact configs (strided + uniform + dilated field)
+        # took the lane-native fast path above
+        raise AssertionError(
             "group_compact requires the strided occupancy path "
-            "(occ_stride > 1, uniform stepping)"
-        )
-        k = occ_stride
-        assert capacity % k == 0, (capacity, k)
-        sg = S // k
-        # group is live if its probe passed AND its first sample is in range
-        t_mid_g0 = t_mid[:, ::k]  # first-sample midpoint of each group
-        gvalid = occ_g & (t_mid_g0 < t_max[:, None])  # (R, SG)
-        num_valid = valid.sum().astype(jnp.int32)  # true per-sample count
-        src = jnp.arange(R * sg, dtype=jnp.int32)
-        keys = jnp.where(gvalid.reshape(-1), src, jnp.int32(R * sg))
-        (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
-        sel = sorted_keys[: capacity // k]  # (CAP/k,) group ids
-        # capacity truncation happens at group boundaries
-        per_ray_g = gvalid.sum(axis=1)
-        cum_g = jnp.cumsum(per_ray_g)
-        ray_kept = cum_g * k <= capacity
-        ray_ends = (jnp.minimum(cum_g, capacity // k) * k).astype(jnp.int32)
-        return _expand_groups(
-            sel, num_valid, ray_kept, ray_ends, R, sg, k, t_min, t_max,
-            render_step_size, capacity,
+            "(occ_stride > 1, occ_dilated given, uniform stepping)"
         )
 
     # compact: ray-major flat order keeps packed samples sorted by ray.

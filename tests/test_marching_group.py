@@ -117,6 +117,32 @@ def test_brick_pack_probe_matches_direct():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_brick_probe_lanes_matches_coords():
+    """probe_bricks_lanes (the (R, SG) lane-native formulation the fast
+    march path uses) must be bit-identical to probe_bricks_coords."""
+    from instant_nsr_pl_tpu.ops.marching import (
+        pack_bricks,
+        probe_bricks_coords,
+        probe_bricks_lanes,
+    )
+
+    res = 32
+    key = jax.random.PRNGKey(7)
+    binary = jax.random.bernoulli(key, 0.3, (res**3,))
+    bricks = pack_bricks(binary, res)
+    ks = jax.random.split(key, 6)
+    R, G = 64, 32
+    cells = []
+    for a in range(3):
+        base = jax.random.randint(ks[a], (R, G // 4, 1), 0, res - 7, jnp.int32)
+        off = jax.random.randint(ks[3 + a], (R, G // 4, 4), 0, 8, jnp.int32)
+        cells.append(jnp.clip(base + off, 0, res - 1).reshape(R, G))
+    cx, cy, cz = cells
+    got = probe_bricks_lanes(bricks, cx, cy, cz, res)
+    ref = probe_bricks_coords(bricks, cx, cy, cz, res)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_brick_march_matches_plain():
     """march_rays with occ_bricks must produce EXACTLY the same packed
     samples as without (the brick probe is a gather-batching trick, not an
