@@ -38,7 +38,24 @@ import instant_nsr_pl_tpu.systems  # noqa: F401
 from instant_nsr_pl_tpu.parallel import make_mesh
 
 
-def _cfg(n_rays: int, samples_per_ray: int):
+# --encoding choices: the CP flagship, and the REFERENCE hash config
+# (L16 F2 2^19 — the gather-bound workload whose single-chip ceiling is
+# documented in PERF.md; DP is its prescribed scaling recipe, so its
+# weak-scaling shape is first-class evidence)
+_ENCODINGS = {
+    "cp": {
+        "otype": "CP", "n_components": 32,
+        "resolutions": [64, 256], "n_features": 16,
+    },
+    "hash": {
+        "otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 19, "base_resolution": 16,
+        "per_level_scale": 1.447269237440378,
+    },
+}
+
+
+def _cfg(n_rays: int, samples_per_ray: int, encoding: str = "cp"):
     return config_from_dict(
         {
             "dataset": {"name": "synthetic", "size": 64, "n_train": 8, "n_val": 1},
@@ -64,12 +81,7 @@ def _cfg(n_rays: int, samples_per_ray: int):
                     "density_activation": "trunc_exp",
                     "density_bias": -1,
                     "isosurface": {"resolution": 32, "chunk": 65536},
-                    "xyz_encoding_config": {
-                        "otype": "CP",
-                        "n_components": 32,
-                        "resolutions": [64, 256],
-                        "n_features": 16,
-                    },
+                    "xyz_encoding_config": dict(_ENCODINGS[encoding]),
                     "mlp_network_config": {
                         "otype": "FullyFusedMLP",
                         "activation": "ReLU",
@@ -107,8 +119,11 @@ def _cfg(n_rays: int, samples_per_ray: int):
     )
 
 
-def run_point(n_dev: int, rays_per_dev: int, samples_per_ray: int, steps: int):
-    cfg = _cfg(rays_per_dev * n_dev, samples_per_ray)
+def run_point(
+    n_dev: int, rays_per_dev: int, samples_per_ray: int, steps: int,
+    encoding: str = "cp",
+):
+    cfg = _cfg(rays_per_dev * n_dev, samples_per_ray, encoding)
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     dm.setup("fit")
     system = systems.make(cfg.system.name, cfg)
@@ -131,6 +146,7 @@ def main():
     ap.add_argument("--rays-per-dev", type=int, default=256)
     ap.add_argument("--samples-per-ray", type=int, default=64)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--encoding", default="cp", choices=sorted(_ENCODINGS))
     args = ap.parse_args()
 
     results = {}
@@ -139,7 +155,10 @@ def main():
         if n_dev > len(jax.devices()):
             print(f"skip {n_dev} devices (only {len(jax.devices())})")
             continue
-        dt = run_point(n_dev, args.rays_per_dev, args.samples_per_ray, args.steps)
+        dt = run_point(
+            n_dev, args.rays_per_dev, args.samples_per_ray, args.steps,
+            args.encoding,
+        )
         if base is None:
             base = dt
         results[n_dev] = {
