@@ -101,7 +101,9 @@ class BlenderDataModule:
             "fit": [cfg.get("train_split", "train"), cfg.get("val_split", "val")],
             "validate": [cfg.get("val_split", "val")],
             "test": [cfg.get("test_split", "test")],
-            "predict": [cfg.get("test_split", "test")],
+            # reference predict renders the TRAIN split's views
+            # (datasets/blender.py:109-110)
+            "predict": [cfg.get("train_split", "train")],
         }.get(stage or "fit")
         for split in wanted:
             if split not in self._splits:
@@ -123,3 +125,7 @@ class BlenderDataModule:
     @property
     def test(self):
         return self._splits[self.config.get("test_split", "test")]
+
+    @property
+    def predict(self):
+        return self._splits[self.config.get("train_split", "train")]

@@ -308,7 +308,8 @@ class ColmapDataModule:
             "fit": ["train", "val"],
             "validate": ["val"],
             "test": ["test"],
-            "predict": ["test"],
+            # reference predict renders the TRAIN split (colmap.py:306-307)
+            "predict": ["train"],
         }.get(stage or "fit")
         for split in wanted:
             if split not in self._splits:
@@ -330,3 +331,7 @@ class ColmapDataModule:
     @property
     def test(self):
         return self._splits["test"]
+
+    @property
+    def predict(self):
+        return self._splits["train"]

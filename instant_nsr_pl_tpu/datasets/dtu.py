@@ -153,7 +153,8 @@ class DTUDataModule:
             "fit": ["train", "val"],
             "validate": ["val"],
             "test": ["test"],
-            "predict": ["test"],
+            # reference predict renders the TRAIN split (dtu.py:175-176)
+            "predict": ["train"],
         }.get(stage or "fit")
         for split in wanted:
             if split not in self._splits:
@@ -175,3 +176,7 @@ class DTUDataModule:
     @property
     def test(self):
         return self._splits["test"]
+
+    @property
+    def predict(self):
+        return self._splits["train"]

@@ -159,7 +159,7 @@ class SyntheticDataModule:
             "fit": ["train", "val"],
             "validate": ["val"],
             "test": ["test"],
-            "predict": ["test"],
+            "predict": ["train"],
         }.get(stage or "fit")
         for split in wanted:
             if split not in self._splits:
@@ -181,3 +181,7 @@ class SyntheticDataModule:
     @property
     def test(self):
         return self._splits["test"]
+
+    @property
+    def predict(self):
+        return self._splits["train"]

@@ -219,7 +219,35 @@ class Trainer:
         return psnr
 
     def predict(self, system, dm, state):
-        return self.test(system, dm, state)
+        """Render the dataset's predict split (the TRAIN split's camera
+        trajectory per the reference: datasets/blender.py:109-110,
+        dtu.py:175-176, colmap.py:306-307; dispatched at launch.py:119-121).
+        The reference's PL predict loop renders these views and returns
+        them uncollected; here the frames are saved plus a video —
+        a useful superset of the same data contract. No metrics: predict
+        has no GT comparison in the reference."""
+        dm.setup("predict")
+        data = data_arrays(dm.predict)
+        step = int(state["step"])
+        n = int(data["images"].shape[0])
+        for i in range(n):
+            images = system.render_image(state, i, data=data)
+            if self.is_main:
+                savers.save_image_grid(
+                    self.save_dir,
+                    f"it{step}-predict/{i}.png",
+                    [{"type": "rgb", "img": images["comp_rgb"]}],
+                )
+        if self.is_main:
+            savers.save_img_sequence(
+                self.save_dir,
+                f"it{step}-predict",
+                os.path.join(self.save_dir, f"it{step}-predict"),
+                r"(\d+)\.png",
+                save_format=self.config.trainer.get("video_format", "mp4"),
+                fps=30,
+            )
+        return n
 
     def export(self, system, state):
         """Mesh export (reference systems/nerf.py:213-218)."""

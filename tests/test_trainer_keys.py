@@ -175,3 +175,31 @@ def test_load_data_on_gpu_false_uint8_residency():
     res = sys_q.evaluate_image(state, 0)
     assert np.isfinite(res["psnr"])
     assert res["gt"].dtype == np.float32
+
+
+def test_predict_renders_train_trajectory(tmp_path):
+    """--predict renders the dataset's predict split = the TRAIN split's
+    views (reference datasets/blender.py:109-110, launch.py:119-121) and
+    saves frames + a video, with no GT metrics."""
+    from instant_nsr_pl_tpu.registry import datasets
+    import instant_nsr_pl_tpu.datasets  # noqa: F401
+    from tests.test_systems import _nerf_config
+
+    cfg = _nerf_config(size=32).to_dict()
+    cfg["dataset"].update({"size": 32, "n_train": 3, "n_val": 1})
+    cfg["trainer"] = {"max_steps": 1, "log_every_n_steps": 1}
+    cfg["model"]["eval_chunk_rays"] = 512
+    cfg["model"]["eval_num_samples"] = 16384
+    cfg = config_from_dict(cfg)
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    state = system.init_state(seed=0)
+    tr = Trainer(cfg, str(tmp_path), loggers=[])
+    n = tr.predict(system, dm, state)
+    assert n == 3  # the train split's view count
+    pred_dir = os.path.join(tr.save_dir, "it0-predict")
+    assert sorted(os.listdir(pred_dir)) == ["0.png", "1.png", "2.png"]
+    vids = [f for f in os.listdir(tr.save_dir) if f.startswith("it0-predict.")]
+    assert vids, "predict video missing"
