@@ -92,9 +92,14 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5, data_range=1.0):
         # depthwise 2-D gaussian blur via two 1-D convs per channel
         def conv_channel(c):
             # reflect padding matches the torch impl the reference vendors
-            # (F.conv2d after ReflectionPad; systems/criterions.py:55-152)
+            # (F.conv2d after ReflectionPad; systems/criterions.py:55-152).
+            # precision='highest': TPU convs default to bf16 operands, and
+            # the blur(x^2) - mu^2 variance cancellation amplifies that to
+            # SSIM > 1 (observed 1.19 on an 800x800 eval; fp32 gives 0.992)
             c = jnp.pad(c, window_size // 2, mode="reflect")
-            c = jax.scipy.signal.convolve2d(c, kernel, mode="valid")
+            c = jax.scipy.signal.convolve2d(
+                c, kernel, mode="valid", precision="highest"
+            )
             return c
 
         return jnp.stack(
