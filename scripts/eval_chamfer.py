@@ -71,10 +71,14 @@ def main():
     if mesh_path is None:
         assert args.exp_dir, "need --exp_dir or --mesh"
         objs = sorted(
-            glob.glob(os.path.join(args.exp_dir, "save", "*.obj")),
+            glob.glob(
+                os.path.join(args.exp_dir, "**", "save", "*.obj"),
+                recursive=True,
+            )
+            + glob.glob(os.path.join(args.exp_dir, "save", "*.obj")),
             key=os.path.getmtime,
         )
-        assert objs, f"no .obj under {args.exp_dir}/save"
+        assert objs, f"no .obj under {args.exp_dir}/**/save"
         mesh_path = objs[-1]
 
     mesh = load_obj(mesh_path)
