@@ -95,6 +95,19 @@ def main():
     tree = cKDTree(mesh_pts)
     d_gt_to_mesh, _ = tree.query(gt_pts, k=1)
 
+    # Exterior-surface variant: cull mesh samples strictly INSIDE the object
+    # (signed distance < -tol). SDF methods commonly grow interior shells
+    # (zero-crossings inside the solid) that no camera can observe; the
+    # standard DTU evaluation culls unobservable points via ObsMask — for
+    # an analytic solid, "inside the object" is the exact equivalent.
+    sd = np.full(len(mesh_pts), np.inf)
+    for c, r, _a in spheres:
+        sd = np.minimum(
+            sd, np.linalg.norm(mesh_pts - np.asarray(c)[None], axis=1) - r
+        )
+    ext = sd > -0.01
+    d_ext = d_mesh_to_gt[ext]
+
     out = {
         "mesh": mesh_path,
         "n_mesh_points": int(len(mesh_pts)),
@@ -102,6 +115,11 @@ def main():
         "mesh_to_gt_mean": round(float(d_mesh_to_gt.mean()), 6),
         "gt_to_mesh_mean": round(float(d_gt_to_mesh.mean()), 6),
         "mesh_to_gt_p95": round(float(np.percentile(d_mesh_to_gt, 95)), 6),
+        "gt_to_mesh_p95": round(float(np.percentile(d_gt_to_mesh, 95)), 6),
+        "chamfer_exterior": round(
+            float(0.5 * (d_ext.mean() + d_gt_to_mesh.mean())), 6
+        ),
+        "exterior_frac": round(float(ext.mean()), 4),
     }
     print(json.dumps(out))
 
