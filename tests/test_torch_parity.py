@@ -199,3 +199,43 @@ def test_distortion_loss_parity():
     uni = (wt**2 * dt).sum(1) / 3.0
     expected = (pair + uni).mean()
     np.testing.assert_allclose(float(ours), float(expected), rtol=1e-4)
+
+
+def test_ssim_matches_torch_reference_formula():
+    """Our SSIM vs a torch restatement of the reference's gaussian-window
+    SSIM (reference systems/criterions.py:55-152: reflect padding, 11x11
+    sigma-1.5 separable gaussian, C1=0.01^2 C2=0.03^2, cross-correlation;
+    the symmetric kernel makes conv == cross-correlation)."""
+    import torch
+    import torch.nn.functional as F
+
+    from instant_nsr_pl_tpu.systems.criterions import ssim
+
+    rng = np.random.RandomState(5)
+    a = rng.rand(48, 40, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(48, 40, 3).astype(np.float32) * 0.08, 0, 1)
+
+    def torch_ssim(x, y, k=11, sigma=1.5):
+        t = torch.linspace(-(k - 1) / 2.0, (k - 1) / 2.0, k, dtype=torch.float64)
+        g = torch.exp(-0.5 * (t / sigma) ** 2)
+        g = g / g.sum()
+        kernel = torch.outer(g, g)[None, None].expand(3, 1, k, k)
+        xt = torch.from_numpy(x.astype(np.float64)).permute(2, 0, 1)[None]
+        yt = torch.from_numpy(y.astype(np.float64)).permute(2, 0, 1)[None]
+        pad = [k // 2] * 4
+        xt = F.pad(xt, pad, mode="reflect")
+        yt = F.pad(yt, pad, mode="reflect")
+        conv = lambda z: F.conv2d(z, kernel, groups=3)  # noqa: E731
+        mx, my = conv(xt), conv(yt)
+        sxx = conv(xt * xt) - mx * mx
+        syy = conv(yt * yt) - my * my
+        sxy = conv(xt * yt) - mx * my
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+            (mx * mx + my * my + c1) * (sxx + syy + c2)
+        )
+        return float(m.mean())
+
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = torch_ssim(a, b)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
