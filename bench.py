@@ -349,7 +349,12 @@ def main():
     if args.smoke:
         os.environ["INSR_BENCH_SMOKE"] = "1"
     workloads = [args.workload] if args.workload else ["neus", "nerf"]
+    _AB_ENV = ("INSR_DISABLE_FUSED", "INSR_DISABLE_FUSED_SH")
     for workload in workloads:
+        # A/B- and fallback-driven env mutations (incl. the fused-compile
+        # fallback) must not leak into the next workload, even when this
+        # one raises mid-run
+        saved = {k: os.environ.get(k) for k in _AB_ENV}
         try:
             run_workload(args, workload)
         except Exception:  # noqa: BLE001 — one workload must not kill the rest
@@ -358,6 +363,12 @@ def main():
             import traceback
 
             traceback.print_exc()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 def run_workload(args, workload):
@@ -474,17 +485,22 @@ def run_workload(args, workload):
         # composed) / everything composed. Keep whichever measures fastest.
         dt_fused, state = _time_steps(system, state, ab_warm, ab_chunk, ab_chunks)
         arms = {"fused": (dt_fused, system, state)}
-        for arm_name, env in (
-            ("density_only", "INSR_DISABLE_FUSED_SH"),
-            ("composed", "INSR_DISABLE_FUSED"),
-        ):
+
+        def _radiance_fused(sys_):
+            return any(
+                getattr(getattr(sys_.model, n, None), "fused", False)
+                for n in ("texture", "texture_bg")
+            )
+
+        arm_list = [("composed", "INSR_DISABLE_FUSED")]
+        if _radiance_fused(system):
+            # only meaningful when the radiance head IS fused — otherwise
+            # disabling it rebuilds the exact same program as the fused arm
+            arm_list.insert(0, ("density_only", "INSR_DISABLE_FUSED_SH"))
+        for arm_name, env in arm_list:
             os.environ[env] = "1"
             try:
                 sys_b, st_b = build()
-                if not _uses_fused(sys_b) and arm_name == "density_only":
-                    # radiance head wasn't fused to begin with — same program
-                    # as the fused arm, skip the duplicate measurement
-                    continue
                 st_b, m = sys_b.train_chunk(st_b, 1)
                 float(m["train/loss"])
                 dt_b, st_b = _time_steps(sys_b, st_b, ab_warm, ab_chunk, ab_chunks)
@@ -543,10 +559,7 @@ def run_workload(args, workload):
     if ab_report is not None:
         line["ab"] = ab_report
     print(json.dumps(line), flush=True)
-    # A/B-driven env mutations must not leak into the next workload's run
-    if not fused_was_disabled:
-        os.environ.pop("INSR_DISABLE_FUSED", None)
-    os.environ.pop("INSR_DISABLE_FUSED_SH", None)
+    # env restoration across workloads happens in main()'s finally
 
 
 if __name__ == "__main__":

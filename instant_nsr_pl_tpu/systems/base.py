@@ -31,12 +31,14 @@ def C(value, step, epoch_steps=None):
 
     Mirrors the reference's ``BaseSystem.C`` (systems/base.py:28-45), as a
     pure traced function. The reference's epoch-based interpolation (spelled
-    by a FLOAT ``end_step``, reference systems/base.py:36-44: interpolate by
-    ``current_epoch`` with start/end in epochs) is translated to steps via
-    ``epoch_steps`` — the train split's image count, one nominal pass over
-    the dataset per epoch. (The reference's own train split is an infinite
-    iterable, so PL never finishes an epoch there; the translation gives the
-    spec its documented meaning instead of the degenerate frozen value.)
+    by a FLOAT ``end_step``, reference systems/base.py:41-44) interpolates by
+    the INTEGER ``current_epoch`` — the value is a step function, constant
+    within each epoch. Here the epoch counter is derived from the traced
+    step as ``floor(step / epoch_steps)`` where one nominal epoch = one pass
+    over the train split's images. (The reference's own train split is an
+    infinite iterable, so PL never finishes an epoch there; the translation
+    gives the spec its documented meaning instead of the degenerate frozen
+    value.)
     """
     if isinstance(value, (int, float)):
         return jnp.float32(value)
@@ -45,7 +47,10 @@ def C(value, step, epoch_steps=None):
         value = [0] + value
     assert len(value) == 4, f"bad scheduled value spec {value}"
     start_step, start_value, end_value, end_step = value
-    if not isinstance(end_step, int):
+    if isinstance(end_step, int):
+        cur = jnp.asarray(step, jnp.float32)
+        denom = max(end_step - start_step, 1)
+    else:
         if not epoch_steps:
             raise ValueError(
                 f"scheduled value {value}: a float end_step selects the "
@@ -53,13 +58,10 @@ def C(value, step, epoch_steps=None):
                 "dataset length to translate epochs->steps (call setup_data "
                 "first, or use integer steps)"
             )
-        start_step = int(round(float(start_step) * epoch_steps))
-        end_step = int(round(float(end_step) * epoch_steps))
-    t = jnp.clip(
-        (jnp.asarray(step, jnp.float32) - start_step) / max(end_step - start_step, 1),
-        0.0,
-        1.0,
-    )
+        # integer current_epoch, matching reference self.current_epoch
+        cur = jnp.floor(jnp.asarray(step, jnp.float32) / epoch_steps)
+        denom = max(float(end_step) - float(start_step), 1e-9)
+    t = jnp.clip((cur - float(start_step)) / denom, 0.0, 1.0)
     return jnp.float32(start_value) + t * (
         jnp.float32(end_value) - jnp.float32(start_value)
     )
@@ -472,11 +474,15 @@ class BaseSystem:
         return new
 
     # -- evaluation ---------------------------------------------------------
-    def make_render_chunk(self):
+    def make_render_chunk(self, capacity_scale: int = 1):
         """Jitted fixed-size ray-chunk renderer for validation/test. With a
         data-parallel plan configured, rays shard across the mesh (params
-        replicated, no collectives needed)."""
+        replicated, no collectives needed). ``capacity_scale`` multiplies the
+        configured eval capacity — ``render_image`` escalates it when even a
+        lone ray overflows (possible under a plan, where each device gets
+        eval_capacity / n_dev)."""
         plan = getattr(self, "_plan", None)
+        eval_capacity = self.eval_capacity * capacity_scale
 
         def render_fn(state, rays_o, rays_d, capacity):
             bg = jnp.ones((3,), jnp.float32)
@@ -487,7 +493,7 @@ class BaseSystem:
 
         if plan is None:
             return jax.jit(
-                lambda state, ro, rd: render_fn(state, ro, rd, self.eval_capacity)
+                lambda state, ro, rd: render_fn(state, ro, rd, eval_capacity)
             )
 
         from jax.sharding import PartitionSpec as P
@@ -498,7 +504,7 @@ class BaseSystem:
             f"eval_chunk_rays {self.eval_chunk_rays} must divide by device "
             f"count {n_dev}"
         )
-        cap_per_dev = max(self.eval_capacity // n_dev, 1)
+        cap_per_dev = max(eval_capacity // n_dev, 1)
 
         def render_sharded(state, rays_o, rays_d):
             body = jax.shard_map(
@@ -545,8 +551,6 @@ class BaseSystem:
         )
         n = rays_o.shape[0]
         chunk = self.eval_chunk_rays
-        if "render" not in self._jitted:
-            self._jitted["render"] = self.make_render_chunk()
 
         # padding rays must consume ZERO packed capacity, or they steal
         # samples from real rays in the retry passes below: aim them away
@@ -556,13 +560,16 @@ class BaseSystem:
         )
         pad_d = jnp.asarray([1.0, 0.0, 0.0])
 
-        def render_chunk_np(ro, rd):
+        def render_chunk_np(ro, rd, scale=1):
+            key = ("render", scale)
+            if key not in self._jitted:
+                self._jitted[key] = self.make_render_chunk(capacity_scale=scale)
             n_real = ro.shape[0]
             if n_real < chunk:  # pad to the static chunk size
                 pad = chunk - n_real
                 ro = jnp.concatenate([ro, jnp.broadcast_to(pad_o, (pad, 3))])
                 rd = jnp.concatenate([rd, jnp.broadcast_to(pad_d, (pad, 3))])
-            out = self._jitted["render"](state, ro, rd)
+            out = self._jitted[key](state, ro, rd)
             return {k: np.asarray(v)[:n_real] for k, v in out.items()}
 
         outs = []
@@ -575,28 +582,38 @@ class BaseSystem:
 
         # rays whose packed samples overflowed the static eval capacity
         # (``rays_kept`` False) rendered incomplete — re-render them with a
-        # halving group size so fewer rays share the same capacity each pass.
-        # Complete by construction: a group of 1 gives one ray the whole
-        # capacity (>= num_samples_per_ray for any sane config), matching the
-        # reference's contract that chunk_batch renders every pixel
-        # (reference models/utils.py:13-50).
+        # halving group size so fewer rays share the same capacity each
+        # pass; if even a LONE ray overflows (possible under a data-parallel
+        # plan, where each device gets eval_capacity / n_dev), escalate the
+        # capacity itself (x2, x4, ...: one extra compile each, cached).
+        # Complete by construction, matching the reference's contract that
+        # chunk_batch renders every pixel (reference models/utils.py:13-50).
         if "rays_kept" in merged:
-            group_size, prev_bad = chunk, None
+            group_size, prev_bad, scale = max(chunk // 2, 1), None, 1
             while True:
                 bad = np.nonzero(~merged["rays_kept"][:, 0].astype(bool))[0]
                 if len(bad) == 0:
                     break
                 if group_size == 1 and prev_bad is not None and len(bad) >= prev_bad:
-                    raise RuntimeError(
-                        f"render_image: {len(bad)}/{n} rays exceed the eval "
-                        f"capacity {self.eval_capacity} even rendered alone "
-                        f"(num_samples_per_ray > eval capacity?); raise "
-                        "model.eval_num_samples"
-                    )
-                prev_bad = len(bad)
+                    scale *= 2
+                    prev_bad = None
+                    group_size = max(chunk // 2, 1)  # doubled capacity: regroup
+                    if scale > 8:
+                        plan = getattr(self, "_plan", None)
+                        per_ray_cap = self.eval_capacity * 8 // (
+                            plan.n_dev if plan else 1
+                        )
+                        raise RuntimeError(
+                            f"render_image: {len(bad)}/{n} rays exceed "
+                            f"{per_ray_cap} samples even rendered alone at "
+                            f"8x the configured eval capacity; raise "
+                            "model.eval_num_samples"
+                        )
+                else:
+                    prev_bad = len(bad)
                 for bstart in range(0, len(bad), group_size):
                     group = bad[bstart : bstart + group_size]
-                    retry = render_chunk_np(rays_o[group], rays_d[group])
+                    retry = render_chunk_np(rays_o[group], rays_d[group], scale)
                     kept_now = retry["rays_kept"][:, 0].astype(bool)
                     for k in merged:
                         merged[k][group[kept_now]] = retry[k][kept_now]

@@ -85,7 +85,24 @@ def main():
     mesh_pts = sample_mesh_surface(
         mesh["v_pos"], mesh["t_pos_idx"], n_points=args.n_points
     )
+    # honor a dataset.spheres scene override from the experiment's
+    # snapshotted config (synthetic._spheres_from_config) — chamfer against
+    # the wrong analytic surface would be silently meaningless
     spheres = _DEFAULT_SPHERES
+    if args.exp_dir:
+        parsed = glob.glob(
+            os.path.join(args.exp_dir, "**", "config", "parsed.yaml"),
+            recursive=True,
+        )
+        if parsed:
+            from instant_nsr_pl_tpu.config import load_config
+
+            ds = load_config(sorted(parsed)[-1]).dataset
+            if "spheres" in ds:
+                spheres = [
+                    (tuple(s[:3]), float(s[3]), tuple(s[4:7]))
+                    for s in ds["spheres"]
+                ]
 
     d_mesh_to_gt = unsigned_distance(mesh_pts, spheres)
 

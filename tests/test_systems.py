@@ -41,14 +41,17 @@ def test_scheduled_scalar_rejects_epoch_interpolation_without_length():
 
 
 def test_scheduled_scalar_epoch_translation():
-    """Float end_step + epoch_steps: epochs translate to steps at one nominal
-    pass over the train split per epoch (reference systems/base.py:36-44
-    interpolates by current_epoch)."""
+    """Float end_step + epoch_steps: interpolation by the INTEGER epoch
+    counter (reference systems/base.py:41-44 uses self.current_epoch), so
+    the value is a step function — constant within each epoch, including
+    mid-epoch steps."""
     spec = [1.0, 0.0, 1.0, 3.0]  # epochs 1..3
     es = 100
     assert float(C(spec, 0, epoch_steps=es)) == 0.0
     assert float(C(spec, 100, epoch_steps=es)) == 0.0
+    assert float(C(spec, 150, epoch_steps=es)) == 0.0  # mid-epoch: constant
     assert abs(float(C(spec, 200, epoch_steps=es)) - 0.5) < 1e-6
+    assert abs(float(C(spec, 250, epoch_steps=es)) - 0.5) < 1e-6
     assert float(C(spec, 300, epoch_steps=es)) == 1.0
     assert float(C(spec, 999, epoch_steps=es)) == 1.0
 
