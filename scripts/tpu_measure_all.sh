@@ -1,18 +1,19 @@
 #!/usr/bin/env bash
-# One-shot TPU measurement session for the round-2 fused-kernel layer.
-# Run when the axon tunnel is up (probe first: the tunnel has multi-hour
-# outages and jax.devices() hangs when it is down). Each stage appends to
-# a timestamped log so a mid-session tunnel drop loses nothing.
+# One-shot TPU measurement session (round-3 shape). Run when the axon
+# tunnel is up (probe first: the tunnel has multi-hour outages and
+# jax.devices() hangs when it is down). Each stage appends to a
+# timestamped log so a mid-session tunnel drop loses nothing.
 #
 #   bash scripts/tpu_measure_all.sh [logfile]
 #
-# Stages (PERF.md measurement plan):
-#   1. microbench_fused   — fused kernels vs composed, kernel-level A/B
-#   2. bench nerf         — headline rays/s (flagship cp)
-#   3. bench nerf cp_stacked — stacked-scales A/B (MXU-width experiment)
-#   4. bench neus         — NeuS rays/s (flagship cp)
-#   5. profile_step       — step decomposition at the new operating point
-#   6. bench eval mode    — full-image render throughput
+# Stages:
+#   1. microbench_fused — fused kernels vs composed, kernel-level A/B
+#   2. bench            — BOTH workloads (neus line, then the nerf
+#                         headline) with the 3-arm fused A/B
+#   3. bench hash arms  — the reference HashGrid configs (gather floor)
+#   4. trace_step       — device-trace op breakdown of the real step
+#   5. bench eval mode  — full-image render throughput
+# For the 20k-step quality table run scripts/quality_session.sh instead.
 # Keep the persistent compilation cache warm: every python entry here sets
 # jax_compilation_cache_dir itself (bench.py, launch.py) or runs fast.
 
@@ -42,18 +43,9 @@ stage() {
 
 echo "log: $LOG"
 stage microbench_fused python scripts/microbench_fused.py || exit 1
-stage bench_nerf python bench.py --workload nerf
-stage bench_nerf_stacked python bench.py --workload nerf --encoding cp_stacked
-stage bench_neus python bench.py --workload neus
-stage profile_step python scripts/profile_step.py
+stage bench_both python bench.py
+stage bench_nerf_hash python bench.py --workload nerf --encoding hash --no-ab
+stage bench_neus_hash python bench.py --workload neus --encoding hash --no-ab
+stage trace_step python scripts/trace_step.py --workload nerf --steps 16
 stage bench_eval python bench.py --workload nerf --mode eval
-# quality at the flagship encoding: 10k steps on the procedural scene
-# (round-1 hash evidence was val 34.3; CP must hold the quality bar too)
-stage quality_cp python launch.py --config configs/nerf-synthetic.yaml --train \
-  trainer.max_steps=10000 trainer.val_check_interval=5000 \
-  model.geometry.xyz_encoding_config.otype=CP \
-  model.geometry.xyz_encoding_config.n_components=64 \
-  "model.geometry.xyz_encoding_config.resolutions=[128,2048]" \
-  model.geometry.xyz_encoding_config.n_features=16 \
-  --exp_dir /tmp/exp_quality_cp
 echo "=== done $(date +%H:%M:%S) ===" | tee -a "$LOG"
