@@ -492,10 +492,21 @@ def run_workload(args, workload):
                 for n in ("texture", "texture_bg")
             )
 
+        def _density_fused(sys_):
+            return any(
+                getattr(
+                    getattr(getattr(sys_.model, n, None),
+                            "encoding_with_network", None),
+                    "fused", False,
+                )
+                for n in ("geometry", "geometry_bg")
+            )
+
         arm_list = [("composed", "INSR_DISABLE_FUSED")]
-        if _radiance_fused(system):
-            # only meaningful when the radiance head IS fused — otherwise
-            # disabling it rebuilds the exact same program as the fused arm
+        if _radiance_fused(system) and _density_fused(system):
+            # only meaningful when BOTH heads are fused: with the radiance
+            # head unfused it duplicates the fused arm, with the density
+            # head unfused it duplicates the composed arm
             arm_list.insert(0, ("density_only", "INSR_DISABLE_FUSED_SH"))
         for arm_name, env in arm_list:
             os.environ[env] = "1"
