@@ -30,6 +30,34 @@ try:  # persistent compile cache: repeat runs skip the ~2 min TPU compiles
 except Exception:
     pass
 
+def _versions():
+    """jax/jaxlib/libtpu version stamp for the JSON line, so cross-round
+    perf deltas are attributable to toolchain bumps (round-3 VERDICT #8)."""
+    out = {"jax": jax.__version__}
+    try:
+        import jaxlib
+
+        out["jaxlib"] = jaxlib.__version__
+    except Exception:
+        pass
+    try:
+        from importlib import metadata
+
+        for dist in ("libtpu", "libtpu-nightly"):
+            try:
+                out["libtpu"] = metadata.version(dist)
+                break
+            except metadata.PackageNotFoundError:
+                pass
+    except Exception:
+        pass
+    try:
+        out["platform_version"] = jax.devices()[0].client.platform_version
+    except Exception:
+        pass
+    return out
+
+
 # RTX 3090 reference operating points (BASELINE.md): NeRF lego 20k steps in
 # 279 s, NeuS (w/ masks) avg 11:44 = 704 s — both at the 8192-ray dynamic cap
 BASELINE_RAYS_PER_SEC = 8192 * 20000 / 279.0
@@ -392,28 +420,53 @@ def run_workload(args, workload):
                 system.configure_parallel(make_mesh(n))
         return system, system.init_state(seed=0)
 
+    def _uses_fused(sys_):
+        mdl = sys_.model
+        for name in ("geometry", "geometry_bg"):
+            ewn = getattr(getattr(mdl, name, None), "encoding_with_network", None)
+            if ewn is not None and getattr(ewn, "fused", False):
+                return True
+        for name in ("texture", "texture_bg"):
+            if getattr(getattr(mdl, name, None), "fused", False):
+                return True
+        return False
+
     system, state = build()
     # First dispatch compiles everything. If a fused Pallas path fails at
     # REAL Mosaic compile time (the CPU lowering tests can't see backend
     # limits like VMEM pressure), fall back to the composed kernels so an
-    # unattended bench still reports a number instead of crashing.
-    try:
-        state, metrics = system.train_chunk(state, 1)
-        float(metrics["train/loss"])
-    except Exception as e:  # noqa: BLE001 — unattended-run safety net
-        import sys
-        import traceback
+    # unattended bench still reports a number instead of crashing. The
+    # failure is retried ONCE on the same path first: transient tunnel
+    # errors (BENCH_r03's `remote_compile: response body closed`) must not
+    # silently demote the fused path — the persistent compile cache makes
+    # the retry cheap. A real fallback is recorded in the JSON line.
+    fused_fallback_exc = None
+    for attempt in ("fused", "fused-retry", "composed"):
+        try:
+            state, metrics = system.train_chunk(state, 1)
+            float(metrics["train/loss"])
+            break
+        except Exception as e:  # noqa: BLE001 — unattended-run safety net
+            import sys
+            import traceback
 
-        traceback.print_exc()
-        print(
-            "bench: fused-kernel compile failed; retrying with "
-            "INSR_DISABLE_FUSED=1",
-            file=sys.stderr,
-        )
-        os.environ["INSR_DISABLE_FUSED"] = "1"
-        system, state = build()
-        state, metrics = system.train_chunk(state, 1)
-        float(metrics["train/loss"])
+            traceback.print_exc()
+            if attempt == "composed":
+                raise
+            if attempt == "fused-retry":
+                if _uses_fused(system):
+                    fused_fallback_exc = type(e).__name__
+                os.environ["INSR_DISABLE_FUSED"] = "1"
+            print(
+                f"bench: first dispatch failed ({type(e).__name__}); "
+                + (
+                    "retrying same path once (transient-infra guard)"
+                    if attempt == "fused"
+                    else "falling back to INSR_DISABLE_FUSED=1"
+                ),
+                file=sys.stderr,
+            )
+            system, state = build()
 
     if args.mode == "eval":
         from instant_nsr_pl_tpu.trainer import data_arrays
@@ -448,17 +501,6 @@ def run_workload(args, workload):
             )
         )
         return
-
-    def _uses_fused(sys_):
-        mdl = sys_.model
-        for name in ("geometry", "geometry_bg"):
-            ewn = getattr(getattr(mdl, name, None), "encoding_with_network", None)
-            if ewn is not None and getattr(ewn, "fused", False):
-                return True
-        for name in ("texture", "texture_bg"):
-            if getattr(getattr(mdl, name, None), "fused", False):
-                return True
-        return False
 
     def _time_steps(sys_, st, warm, chunk, chunks):
         """Median per-step time over ``chunks`` timed chunks of ``chunk``
@@ -566,7 +608,15 @@ def run_workload(args, workload):
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 4),
+        # whether the MEASURED path ran any fused Pallas head (round-3
+        # VERDICT: a fallback must be visible in the line, not silent)
+        "fused": bool(
+            _uses_fused(system) and not os.environ.get("INSR_DISABLE_FUSED")
+        ),
+        "versions": _versions(),
     }
+    if fused_fallback_exc is not None:
+        line["fused_fallback_exc"] = fused_fallback_exc
     if ab_report is not None:
         line["ab"] = ab_report
     print(json.dumps(line), flush=True)
