@@ -367,6 +367,14 @@ def occupancy_grid_update(
             check_vma=False,
         )
         occ = eval_sharded(world_p)[:m]
+        # gather the sharded evaluations back to a REPLICATED array: the
+        # grid state must stay fully replicated — every chip applies the
+        # identical update, and checkpoint saving (rank 0 fetches the whole
+        # state host-side) cannot read dp-sharded leaves under a
+        # multi-process mesh
+        from jax.sharding import NamedSharding
+
+        occ = jax.lax.with_sharding_constraint(occ, NamedSharding(mesh, P()))
     else:
         occ = jnp.asarray(occ_eval_fn(world)).reshape(-1)
     occ = jax.lax.stop_gradient(occ)

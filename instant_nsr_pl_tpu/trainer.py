@@ -94,6 +94,10 @@ class Trainer:
                 state = load_weights_only(resume, state)
             else:
                 state = load_checkpoint(resume, state)
+            # under a multi-process mesh the loaded leaves are host-local;
+            # re-globalize so the sharded train plan accepts them (no-op
+            # single-process)
+            state = system._globalize(state)
         val_data = data_arrays(dm.val)
 
         # optional profiler capture (reference has no profiler integration;

@@ -165,7 +165,8 @@ def _restore(system, dm, args, trainer):
     dm.setup("fit")
     system.setup_data(dm.train)
     state = system.init_state(seed=int(trainer.config.get("seed", 42)))
-    return load_checkpoint(args.resume, state)
+    # re-globalize for multi-process meshes (no-op single-process)
+    return system._globalize(load_checkpoint(args.resume, state))
 
 
 if __name__ == "__main__":
