@@ -80,15 +80,28 @@ class VolumeDensity(BaseImplicitGeometry):
     def init(self, rng):
         return self.encoding_with_network.init(rng)
 
-    def apply(self, params, points, step=None):
-        """points: (..., 3) world -> (density (...,), feature (..., D))."""
+    def apply(self, params, points, step=None, grouped=False):
+        """points: (..., 3) world -> (density (...,), feature (..., D)).
+
+        ``grouped=True`` asserts the flattened points are aligned uniform-
+        step blocks (the group-compacted march layout) — enables hash-grid
+        per-group tap dedup if configured (configure_dedup)."""
         pts = contract_to_unisphere(points, self.radius, self.contraction_type)
         out = self.encoding_with_network.apply(
-            params, pts.reshape(-1, self.n_input_dims), step=step
+            params, pts.reshape(-1, self.n_input_dims), step=step,
+            grouped=grouped,
         ).reshape(*points.shape[:-1], self.n_output_dims)
         out = out.astype(jnp.float32)
         density = self.density_activation(out[..., 0] + self.density_bias)
         return density, out
+
+    def configure_dedup(self, group: int, step: float):
+        """Forward the renderer's block guarantee to a hash encoding (no-op
+        for encodings without tap dedup). ``step`` in encode [0,1] coords."""
+        enc = self.encoding_with_network.encoding
+        fn = getattr(enc, "configure_dedup", None)
+        if fn is not None:
+            fn(group, step)
 
     def forward_level(self, params, points, step=None):
         density, _ = self.apply(params, points, step=step)

@@ -84,6 +84,26 @@ class NeRFModel:
         # group-granular compaction (ops/marching.py): sorts R*S/k group
         # keys instead of R*S sample keys - the march's dominant cost
         self.group_compact = bool(config.get("march_group_compact", True))
+        # hash-grid per-group tap dedup: with aligned k-blocks guaranteed by
+        # the group-compacted march, coarse levels gather one 27-point
+        # lattice per block instead of 8 corners per sample. AABB (linear
+        # contraction) + uniform stepping only; opt-out via config.
+        import os
+
+        if (
+            bool(config.get("hash_tap_dedup", True))
+            # escape hatch for unattended A/B runs (bench)
+            and not os.environ.get("INSR_DISABLE_HASH_DEDUP")
+            and self.cone_angle == 0.0
+            and self.contraction_type == ContractionType.AABB
+            and self.group_compact
+            and self.grid_prune
+            and self.occ_stride > 1
+        ):
+            fn = getattr(self.geometry, "configure_dedup", None)
+            if fn is not None:
+                fn(self.occ_stride,
+                   self.render_step_size / (2.0 * self.radius))
 
     def packed_group(self, capacity: int) -> int:
         """Static block size of the packed buffer: k when the group-compacted
@@ -185,7 +205,7 @@ class NeRFModel:
         )
 
         density, feature = self.geometry.apply(
-            params["geometry"], positions, step=step
+            params["geometry"], positions, step=step, grouped=grp > 1
         )
         rgb = self.texture.apply(params["texture"], feature, dirs, step=step)
 

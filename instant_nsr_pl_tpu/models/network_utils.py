@@ -76,17 +76,46 @@ class HashGridEncoding:
         # keeps the plain autodiff scatter
         default_mode = "fast" if jax.default_backend() == "tpu" else "autodiff"
         self.grad_mode = str(config.get("grad_mode", default_mode))
+        # per-group tap dedup spec, set by the renderer (configure_dedup)
+        # when it can guarantee aligned-block-local inputs
+        self.dedup_spec = None
+
+    def configure_dedup(self, group: int, step: float):
+        """Enable per-group tap dedup for ``grouped=True`` calls.
+
+        ``group``: aligned block size of the input positions (the group-
+        compacted march's k). ``step``: per-axis position step bound in the
+        encoding's [0,1] coords. Coarse levels whose cell covers a whole
+        block then gather one 27-point lattice per block instead of 8
+        corners per sample (ops/hashgrid.py) — the gather rows are the hash
+        path's measured floor (~5.4 ns/row, PERF.md)."""
+        import dataclasses
+
+        if group < 4 or step <= 0.0 or self.grad_mode != "fast":
+            return
+        spec = dataclasses.replace(
+            self.spec, dedup_group=int(group), dedup_step=float(step)
+        )
+        if any(spec.dedup_group_sizes):
+            self.dedup_spec = spec
+
+    def _encode(self, table, x, level_mask=None, grouped=False):
+        spec = self.spec
+        if grouped and self.dedup_spec is not None:
+            n = 1
+            for d in x.shape[:-1]:
+                n *= int(d)
+            if n % self.dedup_spec.dedup_group == 0:
+                spec = self.dedup_spec
+        if self.grad_mode == "fast":
+            return hashgrid_encode_fast(table, x, spec, level_mask)
+        return hashgrid_encode(table, x, self.spec, level_mask)
 
     def init(self, rng):
         return {"table": hashgrid_init(rng, self.spec)}
 
-    def _encode(self, table, x, level_mask=None):
-        if self.grad_mode == "fast":
-            return hashgrid_encode_fast(table, x, self.spec, level_mask)
-        return hashgrid_encode(table, x, self.spec, level_mask)
-
-    def apply(self, params, x, step=None):
-        return self._encode(params["table"], x)
+    def apply(self, params, x, step=None, grouped=False):
+        return self._encode(params["table"], x, grouped=grouped)
 
     def apply_with_jac(self, params, x, step=None):
         """(feat, jac (3, ..., LF)): features + analytic position Jacobian
@@ -120,8 +149,10 @@ class ProgressiveBandHashGrid(HashGridEncoding):
         lvl = self.current_level(step)
         return (jnp.arange(self.spec.n_levels) < lvl).astype(jnp.float32)
 
-    def apply(self, params, x, step=None):
-        return self._encode(params["table"], x, level_mask=self._mask(step))
+    def apply(self, params, x, step=None, grouped=False):
+        return self._encode(
+            params["table"], x, level_mask=self._mask(step), grouped=grouped
+        )
 
     def apply_with_jac(self, params, x, step=None):
         from instant_nsr_pl_tpu.ops.hashgrid import hashgrid_encode_with_jac
@@ -262,13 +293,23 @@ class CompositeEncoding:
     def init(self, rng):
         return self.encoding.init(rng)
 
-    def apply(self, params, x, step=None):
-        enc = self.encoding.apply(params, x, step=step)
+    def apply(self, params, x, step=None, grouped=False):
+        kw = {"grouped": True} if grouped and self.dedup_spec is not None else {}
+        enc = self.encoding.apply(params, x, step=step, **kw)
         if not self.include_xyz:
             return enc
         return jnp.concatenate(
             [x * self.xyz_scale + self.xyz_offset, enc], axis=-1
         )
+
+    @property
+    def dedup_spec(self):
+        return getattr(self.encoding, "dedup_spec", None)
+
+    def configure_dedup(self, group: int, step: float):
+        fn = getattr(self.encoding, "configure_dedup", None)
+        if fn is not None:
+            fn(group, step)
 
     @property
     def has_jac(self) -> bool:
@@ -383,7 +424,7 @@ class EncodingWithNetwork:
             "network": self.network.init(k_net),
         }
 
-    def apply(self, params, x, step=None):
+    def apply(self, params, x, step=None, grouped=False):
         if self.fused:
             from instant_nsr_pl_tpu.ops.cp_mlp_pallas import (
                 cp_mlp_apply,
@@ -400,9 +441,14 @@ class EncodingWithNetwork:
                 self.network.spec,
             )
             return self.network.output_activation(out)
+        enc_kw = (
+            {"grouped": True}
+            if grouped and getattr(self.encoding, "dedup_spec", None) is not None
+            else {}
+        )
         return self.network.apply(
             params["network"],
-            self.encoding.apply(params["encoding"], x, step=step),
+            self.encoding.apply(params["encoding"], x, step=step, **enc_kw),
             step=step,
         )
 

@@ -51,6 +51,14 @@ class HashGridSpec:
     base_resolution: int = 16
     per_level_scale: float = 1.447269237440378
     n_input_dims: int = 3
+    # -- per-group tap dedup (off by default; see dedup_group_sizes) --------
+    # ``dedup_group``: aligned block size of the input positions (the
+    # group-compacted march guarantees every k-block is one ray's uniform
+    # sub-segment). ``dedup_step``: per-sample position step in the
+    # encoding's [0,1] input coords (an upper bound per axis, jitter
+    # included). Both 0 = per-sample taps everywhere (exact legacy path).
+    dedup_group: int = 0
+    dedup_step: float = 0.0
 
     @property
     def table_size(self) -> int:
@@ -96,6 +104,31 @@ class HashGridSpec:
     @property
     def total_params(self) -> int:
         return sum(self.level_sizes)
+
+    @property
+    def dedup_group_sizes(self) -> tuple[int, ...]:
+        """Per-level dedup block size (0 = per-sample 8-corner taps).
+
+        Within an aligned block of ``g`` consecutive samples the per-axis
+        position span is < ``g * dedup_step``; when that span fits inside
+        ONE cell of level ``l`` (``g * dedup_step * scale_l <= 1``) every
+        sample's cell lies in the block's anchor 2x2x2 cell cube, so the
+        27-point corner lattice of that cube covers all 8*g corner taps —
+        27 gathered rows per block instead of 8 per sample. Only block
+        sizes >= 4 win (27/g < 8). XLA's TPU gather is ~5.4 ns/row however
+        narrow (PERF.md gather micro-study), so fewer rows is the only
+        lever this chip offers; this trades VPU tent-weight arithmetic for
+        gather rows. Reference role: tcnn HashGrid forward taps
+        (models/network_utils.py:90)."""
+        if self.dedup_group < 4 or self.dedup_step <= 0.0:
+            return tuple(0 for _ in range(self.n_levels))
+        out = []
+        for s in self.scales:
+            g = self.dedup_group
+            while g >= 4 and g * self.dedup_step * s > 1.0:
+                g //= 2
+            out.append(g if g >= 4 else 0)
+        return tuple(out)
 
     @property
     def n_output_dims(self) -> int:
@@ -176,6 +209,138 @@ def _level_corner_indices(spec: HashGridSpec, xt, level: int):
             w = w * (frac[d] if bits[d] else (1.0 - frac[d]))
         w_list.append(w)
     return jnp.stack(idx_list), jnp.stack(w_list)  # (8, N) each
+
+
+# 27 lattice offsets of the 2x2x2 cell cube, shape (27, 3)
+_LATTICE27 = np.array(
+    [[i % 3, (i // 3) % 3, i // 9] for i in range(27)], dtype=np.int32
+)
+
+
+def _level_lattice_gather(params, xt, spec: HashGridSpec, level: int, g: int):
+    """Per-block 27-point lattice gather for one dedup level.
+
+    Args:
+      xt: (3, N) positions in [0, 1], N divisible by g.
+    Returns:
+      idx: (27, B) int32 global rows (B = N // g), clamped like the
+        per-sample path (weights stay attached to the UNCLAMPED lattice
+        position, so colliding clamped rows sum exactly like the
+        per-sample clamped corners do);
+      gvals: (F, 27, B) gathered table rows;
+      pos: (3, N) grid-space positions; anchors a = floor(min pos) per block.
+    """
+    s = spec.scales[level]
+    res = np.uint32(spec.resolutions[level])
+    size = np.uint32(spec.level_sizes[level])
+    offset = np.int32(spec.level_offsets[level])
+    hashed = spec.level_hashed[level]
+
+    n = xt.shape[1]
+    assert n % g == 0, (n, g)
+    b = n // g
+    pos = xt.astype(jnp.float32) * jnp.float32(s) + 0.5  # (3, N)
+    a = jnp.floor(pos.reshape(3, b, g).min(axis=2)).astype(jnp.int32)  # (3, B)
+
+    rmax = jnp.int32(int(res) - 1)
+    offs = jnp.asarray(_LATTICE27)  # (27, 3)
+    cu = [
+        jnp.clip(a[d][None, :] + offs[:, d][:, None], 0, rmax).astype(
+            jnp.uint32
+        )
+        for d in range(3)
+    ]  # each (27, B)
+    if hashed:
+        local = (
+            cu[0] * jnp.uint32(_PRIMES[0])
+            ^ cu[1] * jnp.uint32(_PRIMES[1])
+            ^ cu[2] * jnp.uint32(_PRIMES[2])
+        ) % size
+    else:
+        local = cu[0] + cu[1] * res + cu[2] * res * res
+    idx = local.astype(jnp.int32) + offset  # (27, B)
+    gvals = jnp.take(params, idx.reshape(-1), axis=1).reshape(
+        params.shape[0], 27, b
+    )
+    return idx, gvals, pos, a
+
+
+def _lattice_axis_tents(pos, a, g):
+    """Per-axis tent weights of every sample against its block lattice.
+
+    Trilinear interpolation from the full lattice is the tent-product form
+    feat = sum_j prod_d max(0, 1 - |pos_d - j_d|) * T[j]: the product is
+    nonzero exactly at the 8 corners of the sample's cell, so summing over
+    all 27 lattice points reproduces the per-sample 8-corner result.
+
+    Returns (w3, t): w3 (3, 3, N) = tent(t_d - o) for o in {0,1,2};
+    t (3, N) = pos - anchor.
+    """
+    t = pos - jnp.repeat(a, g, axis=1).astype(jnp.float32)  # (3, N)
+    offs3 = jnp.arange(3, dtype=jnp.float32)[None, :, None]  # (1, 3, 1)
+    w3 = jnp.maximum(0.0, 1.0 - jnp.abs(t[:, None, :] - offs3))  # (3, 3, N)
+    return w3, t
+
+
+def _lattice_w27(w3):
+    off = _LATTICE27
+    return w3[0, off[:, 0]] * w3[1, off[:, 1]] * w3[2, off[:, 2]]  # (27, N)
+
+
+def _level_lattice_feat(params, xt, spec, level, g):
+    """Forward features of one dedup level: (F, N) + residuals."""
+    idx, gvals, pos, a = _level_lattice_gather(params, xt, spec, level, g)
+    w3, _ = _lattice_axis_tents(pos, a, g)
+    w27 = _lattice_w27(w3)  # (27, N)
+    grep = jnp.repeat(gvals, g, axis=2)  # (F, 27, N) — broadcast per block
+    feat = (grep * w27[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+    return feat, (idx, gvals, a)
+
+
+def _level_lattice_bwd(spec, xt, level, g, idx, gvals, a, ct_l):
+    """Backward of one dedup level from saved lattice residuals.
+
+    Args:
+      ct_l: (N, F) float32 cotangent of this level's features.
+    Returns:
+      local_idx: (27*B,) int32 level-local rows; wg: (27*B, F) updates;
+      dx_t: (3, N) position cotangent contribution (in x units).
+    """
+    s = jnp.float32(spec.scales[level])
+    n = xt.shape[1]
+    b = n // g
+    f = ct_l.shape[1]
+    pos = xt.astype(jnp.float32) * s + 0.5
+    w3, t = _lattice_axis_tents(pos, a, g)
+    w27 = _lattice_w27(w3)  # (27, N)
+
+    # table gradient: per (lattice point, block) update = sum over the
+    # block's samples of tent weight * cotangent
+    wg = jnp.einsum(
+        "obg,bgf->obf", w27.reshape(27, b, g), ct_l.reshape(b, g, f)
+    ).reshape(27 * b, f)
+    local_idx = (idx - np.int32(spec.level_offsets[level])).reshape(27 * b)
+
+    # position cotangent: dL/dpos_d = sum_j (g_j . ct) * dtent_d * prod tents
+    tg = jnp.einsum(
+        "fob,bgf->obg", gvals.astype(jnp.float32), ct_l.reshape(b, g, f)
+    ).reshape(27, n)
+    offs3 = jnp.arange(3, dtype=jnp.float32)[None, :, None]
+    u = t[:, None, :] - offs3  # (3, 3, N)
+    dw3 = jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)  # (3, 3, N)
+    off = _LATTICE27
+    others = ((1, 2), (0, 2), (0, 1))
+    dx_parts = []
+    for d in range(3):
+        e1, e2 = others[d]
+        wd = (
+            dw3[d, off[:, d]]
+            * w3[e1, off[:, e1]]
+            * w3[e2, off[:, e2]]
+        )  # (27, N)
+        dx_parts.append((tg * wd).sum(axis=0))
+    dx_t = jnp.stack(dx_parts) * s  # (3, N)
+    return local_idx, wg, dx_t
 
 
 def hashgrid_encode(params, x, spec: HashGridSpec, level_mask=None):
@@ -299,33 +464,48 @@ def _level_table_grad_matmul(idx, wg, table_size):
 def hashgrid_encode_fast(params, x, spec: HashGridSpec, level_mask=None):
     """First-order hash encoding with the MXU table gradient (training hot
     path; the tiny-cuda-nn backward's atomic scatter-add role)."""
-    return hashgrid_encode(params, x, spec, level_mask)
+    # share the dedup-aware forward; unused tap residuals are DCE'd
+    out, _ = _encode_with_taps(params, x, spec, level_mask)
+    return out
 
 
 def _encode_with_taps(params, x, spec: HashGridSpec, level_mask=None):
     """Forward encode that also returns per-level tap data as residuals:
-    idx_all (L, 8, N) i32, w_all (L, 8, N) f32, g_all (L, F, 8, N) table
-    values. Saving these (~0.5 GB at the reference workload, ~1 ms of HBM
-    traffic to write+read) lets the backward skip re-hashing AND re-gathering
-    all L*8*N taps — the re-gather alone cost ~140 ms/step (PERF.md)."""
+    idx_all (L', 8, N) i32, w_all (L', 8, N) f32, g_all (L', F, 8, N) table
+    values over the per-sample levels (saving these lets the backward skip
+    re-hashing AND re-gathering all 8*N taps — the re-gather alone cost
+    ~140 ms/step, PERF.md), plus per-dedup-level lattice residuals
+    (idx (27, B), gvals (F, 27, B), anchors (3, B)) for levels coarse
+    enough that a whole march block shares one 27-point lattice
+    (spec.dedup_group_sizes)."""
     batch_shape = x.shape[:-1]
     xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
+    dedup_gs = spec.dedup_group_sizes
 
-    outs, idxs, ws, gs = [], [], [], []
+    outs, idxs, ws, gs, lattice = [], [], [], [], []
     for level in range(spec.n_levels):
-        idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
-        g = jnp.take(params, idx, axis=1)  # (F, 8, N)
-        feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+        if dedup_gs[level]:
+            feat, lat = _level_lattice_feat(
+                params, xt, spec, level, dedup_gs[level]
+            )
+            lattice.append(lat)
+        else:
+            idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
+            g = jnp.take(params, idx, axis=1)  # (F, 8, N)
+            feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+            idxs.append(idx)
+            ws.append(w)
+            gs.append(g)
         if level_mask is not None:
             feat = feat * level_mask[level].astype(feat.dtype)
         outs.append(feat)
-        idxs.append(idx)
-        ws.append(w)
-        gs.append(g)
     out = jnp.concatenate(outs, axis=0)  # (L*F, N)
     out = out.T.reshape(*batch_shape, spec.n_output_dims)
-    taps = (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs))
-    return out, taps
+    if idxs:
+        taps = (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs))
+    else:
+        taps = None
+    return out, (taps, tuple(lattice))
 
 
 def _encode_fast_fwd(params, x, spec, level_mask=None):
@@ -361,53 +541,77 @@ def _encode_fast_bwd(spec, res, ct):
     """Backward from saved taps: no re-hash, no re-gather (the re-gather of
     all L*8*N taps alone cost ~140 ms/step at the reference workload).
     Table gradients: two-sort segment sum for big (hashed) levels, one-hot
-    MXU matmul for small dense levels (_SORT_GRAD_MIN_SIZE crossover)."""
-    x, level_mask, (idx_all, w_all, g_all) = res
+    MXU matmul for small dense levels (_SORT_GRAD_MIN_SIZE crossover).
+    Dedup levels (spec.dedup_group_sizes) feed 27*B lattice-row updates
+    instead of 8*N per-corner updates through the same machinery."""
+    x, level_mask, (taps, lattice) = res
     batch_shape = x.shape[:-1]
     xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
     n = xt.shape[1]
     f = spec.n_features_per_level
     ct2 = ct.reshape(-1, spec.n_levels, f)  # (N, L, F)
+    dedup_gs = spec.dedup_group_sizes
 
-    # group levels by table size so same-shape grad bodies compile once
-    # (the hashed levels all share T = 2^log2_hashmap_size)
-    sizes = spec.level_sizes
-    groups: dict[int, list[int]] = {}
-    for level in range(spec.n_levels):
-        groups.setdefault(sizes[level], []).append(level)
-
-    dtable_parts: dict[int, jax.Array] = {}
+    # per-level update streams: level -> (local_idx (M,), wg (M, F) f32)
+    streams: dict[int, tuple] = {}
     dx_t = jnp.zeros_like(xt)
-    for t_l, levels in groups.items():
-        locals_, wgs = [], []
-        for level in levels:
+    tab_dtype = None
+    if taps is not None:
+        idx_all, w_all, g_all = taps
+        tab_dtype = g_all.dtype
+        ps_levels = [l for l in range(spec.n_levels) if not dedup_gs[l]]
+        for pi, level in enumerate(ps_levels):
             g_l = ct2[:, level, :]  # (N, F)
             if level_mask is not None:
                 g_l = g_l * level_mask[level].astype(g_l.dtype)
-            w = w_all[level]  # (8, N)
+            w = w_all[pi]  # (8, N)
             wg = (w[:, :, None] * g_l[None, :, :]).reshape(8 * n, f)
-            locals_.append(
-                (idx_all[level] - np.int32(spec.level_offsets[level])).reshape(
-                    8 * n
-                )
-            )
-            wgs.append(wg.astype(jnp.float32))
-            dx_t = dx_t + _level_dx(spec, xt, g_all[level], g_l, level)
+            li = (
+                idx_all[pi] - np.int32(spec.level_offsets[level])
+            ).reshape(8 * n)
+            streams[level] = (li, wg.astype(jnp.float32))
+            dx_t = dx_t + _level_dx(spec, xt, g_all[pi], g_l, level)
+    for j, level in enumerate(
+        l for l in range(spec.n_levels) if dedup_gs[l]
+    ):
+        idx, gvals, a = lattice[j]
+        tab_dtype = gvals.dtype if tab_dtype is None else tab_dtype
+        ct_l = ct2[:, level, :].astype(jnp.float32)
+        if level_mask is not None:
+            ct_l = ct_l * level_mask[level].astype(ct_l.dtype)
+        li, wg, dxl = _level_lattice_bwd(
+            spec, xt, level, dedup_gs[level], idx, gvals, a, ct_l
+        )
+        streams[level] = (li, wg)
+        dx_t = dx_t + dxl
+
+    # group levels whose update streams share (table size, row count) so
+    # same-shape grad bodies compile once through a single lax.scan (the
+    # hashed levels all share T = 2^log2_hashmap_size)
+    sizes = spec.level_sizes
+    groups: dict[tuple[int, int], list[int]] = {}
+    for level in range(spec.n_levels):
+        key = (sizes[level], int(streams[level][0].shape[0]))
+        groups.setdefault(key, []).append(level)
+
+    dtable_parts: dict[int, jax.Array] = {}
+    for (t_l, _rows), levels in groups.items():
         level_grad = (
             _level_table_grad_sort
             if t_l >= _SORT_GRAD_MIN_SIZE
             else _level_table_grad_matmul
         )
         if len(levels) == 1:
-            dtable_parts[levels[0]] = level_grad(locals_[0], wgs[0], t_l)
+            li, wg = streams[levels[0]]
+            dtable_parts[levels[0]] = level_grad(li, wg, t_l)
         else:
-            # one scanned body for the whole same-size group
-            stacked_idx = jnp.stack(locals_)  # (G, 8N)
-            stacked_wg = jnp.stack(wgs)  # (G, 8N, F)
+            # one scanned body for the whole same-shape group
+            stacked_idx = jnp.stack([streams[l][0] for l in levels])
+            stacked_wg = jnp.stack([streams[l][1] for l in levels])
 
-            def body(carry, inp):
+            def body(carry, inp, _grad=level_grad, _t=t_l):
                 li, lwg = inp
-                return carry, level_grad(li, lwg, t_l)
+                return carry, _grad(li, lwg, _t)
 
             _, grads = jax.lax.scan(body, None, (stacked_idx, stacked_wg))
             for gi, level in enumerate(levels):
@@ -415,7 +619,7 @@ def _encode_fast_bwd(spec, res, ct):
 
     dtable = jnp.concatenate(
         [dtable_parts[level] for level in range(spec.n_levels)], axis=1
-    ).astype(g_all.dtype)
+    ).astype(tab_dtype)
     dx = dx_t.T.reshape(*batch_shape, spec.n_input_dims).astype(x.dtype)
     dmask = None if level_mask is None else jnp.zeros_like(level_mask)
     return dtable, dx, dmask

@@ -514,10 +514,16 @@ def _expand_groups(
     pv = g_packed[:, None] & in_range
     ray_indices = jnp.where(g_packed[:, None], g_ray[:, None], R - 1)
     ray_indices = jnp.broadcast_to(ray_indices, pv.shape).reshape(-1)
+    # out-of-range slots of a packed block KEEP their analytic schedule t
+    # (only fully-dead padding blocks zero out): every aligned k-block is
+    # then a uniform-step run of one ray, so downstream per-block
+    # structure (hash-grid tap dedup, ops/hashgrid.py) stays sound. The
+    # slots remain valid=False and are never composited.
+    gp = jnp.broadcast_to(g_packed[:, None], pv.shape)
     return PackedSamples(
         ray_indices=ray_indices.astype(jnp.int32),
-        t_starts=jnp.where(pv, ts, 0.0).reshape(-1),
-        t_ends=jnp.where(pv, te, 0.0).reshape(-1),
+        t_starts=jnp.where(gp, ts, 0.0).reshape(-1),
+        t_ends=jnp.where(gp, te, 0.0).reshape(-1),
         valid=pv.reshape(-1),
         num_valid=num_valid,
         ray_kept=ray_kept,

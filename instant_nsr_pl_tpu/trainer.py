@@ -113,6 +113,8 @@ class Trainer:
 
         start_step = int(state["step"])
         t0 = time.time()
+        fit_t0 = time.time()
+        aux_secs = 0.0  # val + checkpoint time, excluded from the train wall
         rays_done = 0
         # host-side step counter: fetching state["step"] per step would sync
         # the device every iteration (costly over the TPU tunnel). Steps run
@@ -162,10 +164,26 @@ class Trainer:
                 # dynamic ray batching (bucketed; reference systems/nerf.py:93-95)
                 system.adapt_num_rays(metrics.get("train/num_samples", 0.0))
             if self.val_check_interval and step % self.val_check_interval == 0:
+                ta = time.time()
                 self._run_validation(system, state, val_data, step)
+                aux_secs += time.time() - ta
             if self.ckpt_every and step % self.ckpt_every == 0:
+                ta = time.time()
                 self.save(system, state, step)
+                aux_secs += time.time() - ta
         self.save(system, state, int(state["step"]))
+        # measured walls (VERDICT r3 #7): fit = everything from resume point
+        # to final save; train = fit minus val renders + checkpoints (still
+        # includes any compile not served by the persistent cache)
+        wall = time.time() - fit_t0
+        self._log(
+            {
+                "train/fit_wall_secs": wall,
+                "train/train_wall_secs": wall - aux_secs,
+                "train/fit_start_step": float(start_step),
+            },
+            int(state["step"]),
+        )
         return state
 
     def _run_validation(self, system, state, val_data, step):

@@ -132,3 +132,95 @@ def test_strided_dilated_lookup_is_superset():
         }
 
     assert keys(exact) <= keys(strided)
+
+
+# ---------------------------------------------------------------------------
+# per-group tap dedup (spec.dedup_group / dedup_step): block-structured
+# inputs go through the 27-point lattice path on coarse levels — must match
+# the per-sample path on values and gradients
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+def _block_setup(g=8, nblocks=64, step=0.01):
+    """Positions as uniform-step runs (one per aligned g-block), the layout
+    the group-compacted march guarantees. step=0.01 makes the dedup level
+    split mixed for SPEC: levels 0-2 dedup at g=8, 3-4 at g=4, 5 per-sample.
+    """
+    spec = dataclasses.replace(SPEC, dedup_group=g, dedup_step=step)
+    table = hashgrid_init(jax.random.PRNGKey(0), spec) * 1000.0
+    x0 = jax.random.uniform(
+        jax.random.PRNGKey(2), (nblocks, 3), minval=0.02, maxval=0.98
+    )
+    d = jax.random.normal(jax.random.PRNGKey(3), (nblocks, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    i = jnp.arange(g, dtype=jnp.float32)[None, :, None]
+    x = jnp.clip(x0[:, None] + d[:, None] * (i * step), 0.0, 1.0)
+    return spec, table, x.reshape(-1, 3)
+
+
+def test_dedup_level_split_is_mixed():
+    spec, _, _ = _block_setup()
+    gs = spec.dedup_group_sizes
+    assert any(v == 8 for v in gs) and any(v == 4 for v in gs)
+    assert gs[-1] == 0, gs  # finest level stays per-sample
+
+
+def test_dedup_forward_matches_per_sample():
+    spec, table, x = _block_setup()
+    ref = hashgrid_encode(table, x, SPEC)  # per-sample, autodiff path
+    got = hashgrid_encode_fast(table, x, spec)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dedup_gradients_match():
+    spec, table, x = _block_setup()
+
+    def la(t, xx):
+        return (hashgrid_encode(t, xx, SPEC) ** 2).sum()
+
+    def lf(t, xx):
+        return (hashgrid_encode_fast(t, xx, spec) ** 2).sum()
+
+    ga_t, ga_x = jax.grad(la, argnums=(0, 1))(table, x)
+    gf_t, gf_x = jax.grad(lf, argnums=(0, 1))(table, x)
+    scale_t = np.abs(np.asarray(ga_t)).max()
+    assert np.abs(np.asarray(ga_t) - np.asarray(gf_t)).max() < 3e-3 * scale_t
+    np.testing.assert_allclose(
+        np.asarray(ga_x), np.asarray(gf_x), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_dedup_gradients_match_level_mask():
+    spec, table, x = _block_setup()
+    mask = jnp.asarray([1.0, 1.0, 0.5, 1.0, 0.0, 1.0])
+
+    def la(t):
+        return (hashgrid_encode(t, x, SPEC, mask) ** 2).sum()
+
+    def lf(t):
+        return (hashgrid_encode_fast(t, x, spec, mask) ** 2).sum()
+
+    ga = jax.grad(la)(table)
+    gf = jax.grad(lf)(table)
+    scale = np.abs(np.asarray(ga)).max()
+    assert np.abs(np.asarray(ga) - np.asarray(gf)).max() < 3e-3 * scale
+
+
+def test_dedup_identical_padding_block():
+    """Fully-dead padding blocks are all-identical positions (the march
+    zeroes whole blocks only); the lattice path must not NaN or misindex."""
+    spec, table, x = _block_setup()
+    x = x.at[:8].set(x[0])  # first block: 8 identical points
+    got = hashgrid_encode_fast(table, x, spec)
+    ref = hashgrid_encode(table, x, SPEC)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-6
+    )
+    g = jax.grad(lambda t: (hashgrid_encode_fast(t, x, spec) ** 2).sum())(
+        table
+    )
+    assert np.isfinite(np.asarray(g)).all()
