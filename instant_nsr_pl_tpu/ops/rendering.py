@@ -16,6 +16,7 @@ numerically safe because sums never cross segment boundaries.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,64 @@ def _sss_bwd(n_rows, row_rays, ct):
 
 
 segment_sum_sorted.defvjp(_sss_fwd, _sss_bwd)
+
+
+def _lane_sum_pow2(x, r: int):
+    """Sum over aligned r-lane groups (r a power of two): (D, L) -> (D, L/r)
+    via pairwise lane-strided adds — never builds an (M, r, D)-shaped tensor
+    whose small trailing dims XLA tile-pads 16-32x (PERF.md layout
+    guardrails; same trick as ops/marching.py _lane_min_pow2)."""
+    while r > 1:
+        x = x[:, 0::2] + x[:, 1::2]
+        r //= 2
+    return x
+
+
+def _segment_sum_sorted_fm_impl(src_t, row_rays, ends):
+    """Feature-major twin of :func:`_segment_sum_sorted_impl`: src_t (D, G)
+    keeps the LARGE axis last through the whole segmented scan, so no
+    intermediate carries a tile-padded (G, D<128) shape."""
+    prev = jnp.concatenate([jnp.full((1,), -1, row_rays.dtype), row_rays[:-1]])
+    d = src_t.shape[0]
+    # associative_scan needs all leaves to share the scan axis position;
+    # the (D, G) broadcast of the bool flags is lane-cheap
+    flags = jnp.broadcast_to((row_rays != prev)[None, :], src_t.shape)
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, 0.0, av)
+
+    _, incl = jax.lax.associative_scan(combine, (flags, src_t), axis=-1)
+    incl_x = jnp.concatenate(
+        [jnp.zeros((d, 1), src_t.dtype), incl], axis=1
+    )
+    starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+    out_t = jnp.where(
+        (ends > starts)[None, :], jnp.take(incl_x, ends, axis=1), 0.0
+    )
+    return out_t.T  # (n_rows, D) — small, transpose at the boundary only
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_sum_sorted_fm(src_t, row_rays, ends, n_rows):
+    """Feature-major :func:`segment_sum_sorted`: src_t (D, G) coordinate-
+    major. Same contraction, but every (G,)-long intermediate keeps G on
+    the lane axis (the (G, D=5) layout of the row-major path tile-pads its
+    last dim 25x and the round-3 step trace showed the block-reduce +
+    scan materializing those pads)."""
+    return _segment_sum_sorted_fm_impl(src_t, row_rays, ends)
+
+
+def _sss_fm_fwd(src_t, row_rays, ends, n_rows):
+    return _segment_sum_sorted_fm_impl(src_t, row_rays, ends), row_rays
+
+
+def _sss_fm_bwd(n_rows, row_rays, ct):
+    return jnp.take(ct.T, row_rays, axis=1), None, None
+
+
+segment_sum_sorted_fm.defvjp(_sss_fm_fwd, _sss_fm_bwd)
 
 
 def _segment_starts(ray_indices, valid):
@@ -186,6 +245,25 @@ def accumulate_along_rays(
     assert n_rays is not None
     if valid is not None:
         weights = jnp.where(valid, weights, 0.0)
+    if (
+        group > 1
+        and ends is not None
+        and not os.environ.get("INSR_DISABLE_ACC_FM")
+    ):
+        # feature-major lane-native path: the whole contraction runs with
+        # the big axis last — lane-strided block reduce + feature-major
+        # segmented scan (no (G, D<128) or (g, k, D) tile-padded shapes)
+        if values is None:
+            src_t = weights[None, :]  # (1, CAP)
+        else:
+            v = values[:, None] if values.ndim == 1 else values
+            src_t = weights[None, :] * v.T  # (D, CAP)
+        cap = src_t.shape[1]
+        assert cap % group == 0, (cap, group)
+        g = cap // group
+        src_t = _lane_sum_pow2(src_t, group)  # (D, CAP/k)
+        rows = ray_indices.reshape(g, group)[:, 0]
+        return segment_sum_sorted_fm(src_t, rows, ends // group, n_rays)
     if values is None:
         src = weights[:, None]
     else:

@@ -160,3 +160,80 @@ def test_march_ray_ends_consistent(group_compact):
         inside = valid[int(starts[r]) : int(ends[r])]
         rin = ray_indices[int(starts[r]) : int(ends[r])]
         assert (rin[inside] == r).all(), r
+
+
+# ---------------------------------------------------------------------------
+# feature-major lane-native accumulate (INSR_ACC_FM path)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_packed_case(rng, n_rays=9, k=8, cap=256, d=5):
+    """Group-aligned packed buffer (the group-compacted march layout):
+    every ray owns a whole number of k-blocks; ray_ends are slot offsets."""
+    blocks = rng.integers(0, 4, size=(n_rays,))
+    blocks[rng.integers(0, n_rays, size=2)] = 0
+    cum_b = np.cumsum(blocks)
+    assert cum_b[-1] * k <= cap
+    ray_indices = np.full((cap,), n_rays - 1, np.int32)
+    pos = 0
+    for r in range(n_rays):
+        n_r = int(blocks[r]) * k
+        ray_indices[pos : pos + n_r] = r
+        pos += n_r
+    valid = np.zeros((cap,), bool)
+    valid[:pos] = True
+    # a few invalid straggler slots INSIDE live blocks (march tail slots)
+    if pos >= k:
+        valid[pos - 2 : pos] = False
+    ends = (cum_b * k).astype(np.int32)
+    w = rng.normal(size=(cap,)).astype(np.float32)
+    vals = rng.normal(size=(cap, d)).astype(np.float32)
+    return (
+        jnp.asarray(w),
+        jnp.asarray(vals),
+        jnp.asarray(ray_indices),
+        jnp.asarray(valid),
+        jnp.asarray(ends),
+        n_rays,
+        k,
+    )
+
+
+def test_accumulate_fm_matches_row_major(monkeypatch):
+    rng = np.random.default_rng(3)
+    w, vals, ri, valid, ends, n_rays, k = _grouped_packed_case(rng)
+    for values in (None, vals):
+        monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
+        fm = accumulate_along_rays(
+            w, ri, values, n_rays=n_rays, valid=valid, group=k, ends=ends
+        )
+        monkeypatch.setenv("INSR_DISABLE_ACC_FM", "1")
+        rm = accumulate_along_rays(
+            w, ri, values, n_rays=n_rays, valid=valid, group=k, ends=ends
+        )
+        monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
+        np.testing.assert_allclose(
+            np.asarray(fm), np.asarray(rm), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_accumulate_fm_grads_match(monkeypatch):
+    rng = np.random.default_rng(4)
+    w, vals, ri, valid, ends, n_rays, k = _grouped_packed_case(rng)
+
+    def loss(wx, vx):
+        acc = accumulate_along_rays(
+            wx, ri, vx, n_rays=n_rays, valid=valid, group=k, ends=ends
+        )
+        return (acc * jnp.arange(acc.size).reshape(acc.shape)).sum()
+
+    monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
+    gw_fm, gv_fm = jax.grad(loss, argnums=(0, 1))(w, vals)
+    monkeypatch.setenv("INSR_DISABLE_ACC_FM", "1")
+    gw_rm, gv_rm = jax.grad(loss, argnums=(0, 1))(w, vals)
+    np.testing.assert_allclose(
+        np.asarray(gw_fm), np.asarray(gw_rm), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gv_fm), np.asarray(gv_rm), rtol=1e-5, atol=1e-6
+    )
