@@ -245,11 +245,7 @@ def accumulate_along_rays(
     assert n_rays is not None
     if valid is not None:
         weights = jnp.where(valid, weights, 0.0)
-    if (
-        group > 1
-        and ends is not None
-        and not os.environ.get("INSR_DISABLE_ACC_FM")
-    ):
+    if ends is not None and not os.environ.get("INSR_DISABLE_ACC_FM"):
         # feature-major lane-native path: the whole contraction runs with
         # the big axis last — lane-strided block reduce + feature-major
         # segmented scan (no (G, D<128) or (g, k, D) tile-padded shapes)
@@ -258,12 +254,14 @@ def accumulate_along_rays(
         else:
             v = values[:, None] if values.ndim == 1 else values
             src_t = weights[None, :] * v.T  # (D, CAP)
-        cap = src_t.shape[1]
-        assert cap % group == 0, (cap, group)
-        g = cap // group
-        src_t = _lane_sum_pow2(src_t, group)  # (D, CAP/k)
-        rows = ray_indices.reshape(g, group)[:, 0]
-        return segment_sum_sorted_fm(src_t, rows, ends // group, n_rays)
+        if group > 1:
+            cap = src_t.shape[1]
+            assert cap % group == 0, (cap, group)
+            g = cap // group
+            src_t = _lane_sum_pow2(src_t, group)  # (D, CAP/k)
+            rows = ray_indices.reshape(g, group)[:, 0]
+            return segment_sum_sorted_fm(src_t, rows, ends // group, n_rays)
+        return segment_sum_sorted_fm(src_t, ray_indices, ends, n_rays)
     if values is None:
         src = weights[:, None]
     else:
