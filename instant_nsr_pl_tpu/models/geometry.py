@@ -194,6 +194,14 @@ class VolumeSDF(BaseImplicitGeometry):
         )
         return 2.0 * self.radius / grid_res
 
+    def configure_dedup(self, group: int, step: float):
+        """Forward the renderer's aligned-block guarantee to a hash encoding
+        (no-op otherwise); enables per-group tap dedup on BOTH the plain
+        encode and the jac (second-order) path. ``step`` in encode coords."""
+        fn = getattr(self.encoding, "configure_dedup", None)
+        if fn is not None:
+            fn(group, step)
+
     def apply(
         self,
         params,
@@ -202,9 +210,11 @@ class VolumeSDF(BaseImplicitGeometry):
         with_grad=True,
         with_feature=True,
         with_laplace=False,
+        grouped=False,
     ):
         """Returns (sdf, [grad,] [feature,] [laplace]) matching the reference's
-        tuple protocol (models/geometry.py:158-210)."""
+        tuple protocol (models/geometry.py:158-210). ``grouped=True``
+        asserts aligned uniform-step blocks (group-compacted march)."""
         points = points.reshape(-1, 3)
         grad = feature = laplace = None
 
@@ -218,7 +228,7 @@ class VolumeSDF(BaseImplicitGeometry):
             )
             pts = contract_to_unisphere(points, self.radius, self.contraction_type)
             enc, jac_enc = self.encoding.apply_with_jac(
-                params["encoding"], pts, step=step
+                params["encoding"], pts, step=step, grouped=grouped
             )  # (N, E), (3, N, E)
 
             def head(e):

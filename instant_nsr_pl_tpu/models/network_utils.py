@@ -99,16 +99,22 @@ class HashGridEncoding:
         if any(spec.dedup_group_sizes):
             self.dedup_spec = spec
 
-    def _encode(self, table, x, level_mask=None, grouped=False):
-        spec = self.spec
+    def _spec_for(self, x, grouped):
+        """The dedup spec when the caller guarantees aligned blocks and the
+        flattened batch divides the block size, else the plain spec."""
         if grouped and self.dedup_spec is not None:
             n = 1
             for d in x.shape[:-1]:
                 n *= int(d)
             if n % self.dedup_spec.dedup_group == 0:
-                spec = self.dedup_spec
+                return self.dedup_spec
+        return self.spec
+
+    def _encode(self, table, x, level_mask=None, grouped=False):
         if self.grad_mode == "fast":
-            return hashgrid_encode_fast(table, x, spec, level_mask)
+            return hashgrid_encode_fast(
+                table, x, self._spec_for(x, grouped), level_mask
+            )
         return hashgrid_encode(table, x, self.spec, level_mask)
 
     def init(self, rng):
@@ -117,13 +123,15 @@ class HashGridEncoding:
     def apply(self, params, x, step=None, grouped=False):
         return self._encode(params["table"], x, grouped=grouped)
 
-    def apply_with_jac(self, params, x, step=None):
+    def apply_with_jac(self, params, x, step=None, grouped=False):
         """(feat, jac (3, ..., LF)): features + analytic position Jacobian
         from one set of gathers (ops/hashgrid.py hashgrid_encode_with_jac) —
         the second-order-capable fast path for NeuS analytic gradients."""
         from instant_nsr_pl_tpu.ops.hashgrid import hashgrid_encode_with_jac
 
-        return hashgrid_encode_with_jac(params["table"], x, self.spec)
+        return hashgrid_encode_with_jac(
+            params["table"], x, self._spec_for(x, grouped)
+        )
 
 
 class ProgressiveBandHashGrid(HashGridEncoding):
@@ -154,11 +162,11 @@ class ProgressiveBandHashGrid(HashGridEncoding):
             params["table"], x, level_mask=self._mask(step), grouped=grouped
         )
 
-    def apply_with_jac(self, params, x, step=None):
+    def apply_with_jac(self, params, x, step=None, grouped=False):
         from instant_nsr_pl_tpu.ops.hashgrid import hashgrid_encode_with_jac
 
         return hashgrid_encode_with_jac(
-            params["table"], x, self.spec, self._mask(step)
+            params["table"], x, self._spec_for(x, grouped), self._mask(step)
         )
 
 
@@ -315,10 +323,11 @@ class CompositeEncoding:
     def has_jac(self) -> bool:
         return hasattr(self.encoding, "apply_with_jac")
 
-    def apply_with_jac(self, params, x, step=None):
+    def apply_with_jac(self, params, x, step=None, grouped=False):
         """(feat (..., D), jac (3, ..., D)) including the identity block of
         the prepended xyz channels (d(x*s+o)/dx = s * I)."""
-        enc, jac = self.encoding.apply_with_jac(params, x, step=step)
+        kw = {"grouped": True} if grouped and self.dedup_spec is not None else {}
+        enc, jac = self.encoding.apply_with_jac(params, x, step=step, **kw)
         if not self.include_xyz:
             return enc, jac
         feat = jnp.concatenate([x * self.xyz_scale + self.xyz_offset, enc], axis=-1)

@@ -88,6 +88,22 @@ class NeuSModel:
         # group-granular compaction (ops/marching.py): sorts R*S/k group
         # keys instead of R*S sample keys - the march's dominant cost
         self.group_compact = bool(config.get("march_group_compact", True))
+        # hash-grid per-group tap dedup (see models/nerf.py): the fg domain
+        # is always AABB + uniform stepping, so only the march-group
+        # guarantee gates it here; applies to the jac (second-order) path
+        import os
+
+        if (
+            bool(config.get("hash_tap_dedup", True))
+            and not os.environ.get("INSR_DISABLE_HASH_DEDUP")
+            and self.group_compact
+            and self.grid_prune
+            and self.occ_stride > 1
+        ):
+            fn = getattr(self.geometry, "configure_dedup", None)
+            if fn is not None:
+                fn(self.occ_stride,
+                   self.render_step_size / (2.0 * self.radius))
         self.occ_thre = float(config.get("grid_prune_occ_thre", 0.01))
         self.occ_spec = OccGridSpec(
             resolution=128, radius=self.radius, contraction_type=ContractionType.AABB
@@ -330,7 +346,7 @@ class NeuSModel:
         else:
             sdf, sdf_grad, feature = self.geometry.apply(
                 params["geometry"], positions, step=step,
-                with_grad=True, with_feature=True,
+                with_grad=True, with_feature=True, grouped=grp > 1,
             )
             sdf_laplace = None
         # an EXACTLY zero gradient (padding samples with collapsed clipped

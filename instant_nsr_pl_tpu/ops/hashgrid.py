@@ -287,6 +287,25 @@ def _lattice_w27(w3):
     return w3[0, off[:, 0]] * w3[1, off[:, 1]] * w3[2, off[:, 2]]  # (27, N)
 
 
+def _lattice_axis_dtents(t):
+    """d tent(t_d - o) / d pos_d: (3, 3, N) — piecewise-constant +-1 inside
+    the support, 0 outside (and 0 at the measure-zero kink, matching the
+    convention of the per-sample jac path at cell boundaries)."""
+    offs3 = jnp.arange(3, dtype=jnp.float32)[None, :, None]
+    u = t[:, None, :] - offs3  # (3, 3, N)
+    return jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)
+
+
+_LATTICE_OTHERS = ((1, 2), (0, 2), (0, 1))
+
+
+def _lattice_wd27(w3, dw3, d):
+    """Per-lattice-point d(tent product)/d pos_d: (27, N), grid units."""
+    off = _LATTICE27
+    e1, e2 = _LATTICE_OTHERS[d]
+    return dw3[d, off[:, d]] * w3[e1, off[:, e1]] * w3[e2, off[:, e2]]
+
+
 def _level_lattice_feat(params, xt, spec, level, g):
     """Forward features of one dedup level: (F, N) + residuals."""
     idx, gvals, pos, a = _level_lattice_gather(params, xt, spec, level, g)
@@ -325,21 +344,100 @@ def _level_lattice_bwd(spec, xt, level, g, idx, gvals, a, ct_l):
     tg = jnp.einsum(
         "fob,bgf->obg", gvals.astype(jnp.float32), ct_l.reshape(b, g, f)
     ).reshape(27, n)
-    offs3 = jnp.arange(3, dtype=jnp.float32)[None, :, None]
-    u = t[:, None, :] - offs3  # (3, 3, N)
-    dw3 = jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)  # (3, 3, N)
-    off = _LATTICE27
-    others = ((1, 2), (0, 2), (0, 1))
+    dw3 = _lattice_axis_dtents(t)  # (3, 3, N)
     dx_parts = []
     for d in range(3):
-        e1, e2 = others[d]
-        wd = (
-            dw3[d, off[:, d]]
-            * w3[e1, off[:, e1]]
-            * w3[e2, off[:, e2]]
-        )  # (27, N)
+        wd = _lattice_wd27(w3, dw3, d)  # (27, N)
         dx_parts.append((tg * wd).sum(axis=0))
     dx_t = jnp.stack(dx_parts) * s  # (3, N)
+    return local_idx, wg, dx_t
+
+
+def _level_lattice_feat_jac(params, xt, spec, level, g):
+    """Forward features AND analytic position Jacobian of one dedup level
+    from the 27-point lattice gather: feat (F, N), jac (3, F, N) in world
+    units, plus the lattice residuals (idx, gvals, a)."""
+    idx, gvals, pos, a = _level_lattice_gather(params, xt, spec, level, g)
+    w3, t = _lattice_axis_tents(pos, a, g)
+    dw3 = _lattice_axis_dtents(t)
+    w27 = _lattice_w27(w3)  # (27, N)
+    s = jnp.float32(spec.scales[level])
+    grep = jnp.repeat(gvals, g, axis=2)  # (F, 27, N) virtual broadcast
+    feat = (grep * w27[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+    gf32 = grep.astype(jnp.float32)
+    jac_l = jnp.stack(
+        [
+            (gf32 * _lattice_wd27(w3, dw3, d)[None]).sum(axis=1)
+            for d in range(3)
+        ]
+    ) * s  # (3, F, N)
+    return feat, jac_l, (idx, gvals, a)
+
+
+def _level_lattice_jac_bwd(spec, xt, level, g, idx, gvals, a, ct_f, ct_j):
+    """Second-order backward of one dedup level: cotangents of (feat, jac)
+    -> (level-local update rows, update values, position cotangent).
+
+    Args:
+      ct_f: (N, F) float32 feature cotangent.
+      ct_j: (3, N, F) float32 Jacobian cotangent.
+    Returns:
+      local_idx (27*B,), wg (27*B, F), dx_t (3, N).
+    """
+    s = jnp.float32(spec.scales[level])
+    n = xt.shape[1]
+    b = n // g
+    f = ct_f.shape[1]
+    pos = xt.astype(jnp.float32) * s + 0.5
+    w3, t = _lattice_axis_tents(pos, a, g)
+    dw3 = _lattice_axis_dtents(t)
+    w27 = _lattice_w27(w3)  # (27, N)
+    wd27 = [_lattice_wd27(w3, dw3, d) for d in range(3)]  # 3 x (27, N)
+
+    # table updates: u_o = w27_o ct_f + s * sum_d wd27_{d,o} ct_jac_d
+    wg = jnp.einsum(
+        "obg,bgf->obf", w27.reshape(27, b, g), ct_f.reshape(b, g, f)
+    )
+    for d in range(3):
+        wg = wg + s * jnp.einsum(
+            "obg,bgf->obf",
+            wd27[d].reshape(27, b, g),
+            ct_j[d].reshape(b, g, f),
+        )
+    wg = wg.reshape(27 * b, f)
+    local_idx = (idx - np.int32(spec.level_offsets[level])).reshape(27 * b)
+
+    gf = gvals.astype(jnp.float32)
+    # dx term 1: feature cotangent through d(tent product)/dx
+    tg_f = jnp.einsum("fob,bgf->obg", gf, ct_f.reshape(b, g, f)).reshape(
+        27, n
+    )
+    dx_parts = [s * (tg_f * wd27[d]).sum(axis=0) for d in range(3)]
+
+    # dx term 2: jac cotangent through the mixed second derivatives
+    # d2(prod)/dx_e dx_d (e != d) = dtent_e dtent_d tent_third; diagonal 0
+    off = _LATTICE27
+    tg_j = [
+        jnp.einsum("fob,bgf->obg", gf, ct_j[e].reshape(b, g, f)).reshape(
+            27, n
+        )
+        for e in range(3)
+    ]
+    third = np.array([[0, 2, 1], [2, 0, 0], [1, 0, 0]], dtype=np.int32)
+    for d in range(3):
+        acc = 0.0
+        for e in range(3):
+            if e == d:
+                continue
+            gd = int(third[d][e])
+            d2 = (
+                dw3[e, off[:, e]]
+                * dw3[d, off[:, d]]
+                * w3[gd, off[:, gd]]
+            )  # (27, N)
+            acc = acc + (d2 * tg_j[e]).sum(axis=0)
+        dx_parts[d] = dx_parts[d] + (s * s) * acc
+    dx_t = jnp.stack(dx_parts)  # (3, N)
     return local_idx, wg, dx_t
 
 
@@ -686,30 +784,39 @@ def _encode_jac_fwd_impl(params, x, spec, level_mask):
     batch_shape = x.shape[:-1]
     xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
     n = xt.shape[1]
+    dedup_gs = spec.dedup_group_sizes
 
-    outs, jacs, idxs, ws, gs = [], [], [], [], []
+    outs, jacs, idxs, ws, gs, lattice = [], [], [], [], [], []
     for level in range(spec.n_levels):
-        idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
-        g = jnp.take(params, idx, axis=1)  # (F, 8, N)
-        feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
-        dw, _, _, _ = _jac_weights(spec, xt, level)  # (8, 3, N)
-        # jac_l: (3, F, N) = sum_c dw[c, d] * g[:, c]
-        jac_l = jnp.einsum("cdn,fcn->dfn", dw, g.astype(jnp.float32))
+        if dedup_gs[level]:
+            feat, jac_l, lat = _level_lattice_feat_jac(
+                params, xt, spec, level, dedup_gs[level]
+            )
+            lattice.append(lat)
+        else:
+            idx, w = _level_corner_indices(spec, xt, level)  # (8, N)
+            g = jnp.take(params, idx, axis=1)  # (F, 8, N)
+            feat = (g * w[None].astype(params.dtype)).sum(axis=1)  # (F, N)
+            dw, _, _, _ = _jac_weights(spec, xt, level)  # (8, 3, N)
+            # jac_l: (3, F, N) = sum_c dw[c, d] * g[:, c]
+            jac_l = jnp.einsum("cdn,fcn->dfn", dw, g.astype(jnp.float32))
+            idxs.append(idx)
+            ws.append(w)
+            gs.append(g)
         if level_mask is not None:
             m = level_mask[level]
             feat = feat * m.astype(feat.dtype)
             jac_l = jac_l * m.astype(jac_l.dtype)
         outs.append(feat)
         jacs.append(jac_l)
-        idxs.append(idx)
-        ws.append(w)
-        gs.append(g)
     out = jnp.concatenate(outs, axis=0)  # (L*F, N)
     out = out.T.reshape(*batch_shape, spec.n_output_dims)
     jac = jnp.concatenate(jacs, axis=1)  # (3, L*F, N)
     jac = jac.transpose(0, 2, 1).reshape(3, *batch_shape, spec.n_output_dims)
-    taps = (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs))
-    return (out, jac.astype(out.dtype)), taps
+    taps = (
+        (jnp.stack(idxs), jnp.stack(ws), jnp.stack(gs)) if idxs else None
+    )
+    return (out, jac.astype(out.dtype)), (taps, tuple(lattice))
 
 
 def _encode_jac_fwd(params, x, spec, level_mask=None):
@@ -719,45 +826,43 @@ def _encode_jac_fwd(params, x, spec, level_mask=None):
 
 def _encode_jac_bwd(spec, res, cts):
     """Hand-written second-order backward: cotangents of (feat, jac) ->
-    (dtable, dx, dmask)."""
+    (dtable, dx, dmask). Dedup levels (spec.dedup_group_sizes) feed 27*B
+    lattice-row update streams instead of 8*N per-corner updates."""
     ct_feat, ct_jac = cts
-    x, level_mask, (idx_all, w_all, g_all) = res
+    x, level_mask, (taps, lattice) = res
     batch_shape = x.shape[:-1]
     xt = x.reshape(-1, spec.n_input_dims).T  # (3, N)
     n = xt.shape[1]
     f = spec.n_features_per_level
     ctf = ct_feat.reshape(-1, spec.n_levels, f)  # (N, L, F)
     ctj = ct_jac.reshape(3, -1, spec.n_levels, f)  # (3, N, L, F)
+    dedup_gs = spec.dedup_group_sizes
 
-    sizes = spec.level_sizes
-    groups: dict[int, list[int]] = {}
-    for level in range(spec.n_levels):
-        groups.setdefault(sizes[level], []).append(level)
-
-    dtable_parts: dict[int, jax.Array] = {}
+    streams: dict[int, tuple] = {}
     dx_t = jnp.zeros_like(xt, dtype=jnp.float32)
-    for t_l, levels in groups.items():
-        locals_, wgs = [], []
-        for level in levels:
+    tab_dtype = None
+    if taps is not None:
+        idx_all, w_all, g_all = taps
+        tab_dtype = g_all.dtype
+        ps_levels = [l for l in range(spec.n_levels) if not dedup_gs[l]]
+        for pi, level in enumerate(ps_levels):
             g_f = ctf[:, level, :].astype(jnp.float32)  # (N, F)
             g_j = ctj[:, :, level, :].astype(jnp.float32)  # (3, N, F)
             if level_mask is not None:
                 m = level_mask[level].astype(jnp.float32)
                 g_f = g_f * m
                 g_j = g_j * m
-            w = w_all[level]  # (8, N)
+            w = w_all[pi]  # (8, N)
             dw, p, signs, s = _jac_weights(spec, xt, level)  # dw: (8,3,N)
-            g = g_all[level].astype(jnp.float32)  # (F, 8, N)
+            g = g_all[pi].astype(jnp.float32)  # (F, 8, N)
 
             # --- table gradient: updates u_c = w_c ct_feat + sum_d dw_cd ct_jac_d
             upd = w[:, :, None] * g_f[None, :, :]  # (8, N, F)
             upd = upd + jnp.einsum("cdn,dnf->cnf", dw, g_j)
-            locals_.append(
-                (idx_all[level] - np.int32(spec.level_offsets[level])).reshape(
-                    8 * n
-                )
-            )
-            wgs.append(upd.reshape(8 * n, f))
+            li = (
+                idx_all[pi] - np.int32(spec.level_offsets[level])
+            ).reshape(8 * n)
+            streams[level] = (li, upd.reshape(8 * n, f))
 
             # --- dx, term 1: feat cotangent through dw (same as _level_dx)
             tg_f = jnp.einsum("fcn,nf->cn", g, g_f)  # (8, N)
@@ -782,20 +887,46 @@ def _encode_jac_bwd(spec, res, cts):
                     acc = acc + (d2 * tg_j[e]).sum(axis=0)
                 dx_t = dx_t.at[d].add(acc)
 
+    for j, level in enumerate(
+        l for l in range(spec.n_levels) if dedup_gs[l]
+    ):
+        idx, gvals, a = lattice[j]
+        tab_dtype = gvals.dtype if tab_dtype is None else tab_dtype
+        g_f = ctf[:, level, :].astype(jnp.float32)
+        g_j = ctj[:, :, level, :].astype(jnp.float32)
+        if level_mask is not None:
+            m = level_mask[level].astype(jnp.float32)
+            g_f = g_f * m
+            g_j = g_j * m
+        li, wg, dxl = _level_lattice_jac_bwd(
+            spec, xt, level, dedup_gs[level], idx, gvals, a, g_f, g_j
+        )
+        streams[level] = (li, wg)
+        dx_t = dx_t + dxl
+
+    sizes = spec.level_sizes
+    groups: dict[tuple[int, int], list[int]] = {}
+    for level in range(spec.n_levels):
+        key = (sizes[level], int(streams[level][0].shape[0]))
+        groups.setdefault(key, []).append(level)
+
+    dtable_parts: dict[int, jax.Array] = {}
+    for (t_l, _rows), levels in groups.items():
         level_grad = (
             _level_table_grad_sort
             if t_l >= _SORT_GRAD_MIN_SIZE
             else _level_table_grad_matmul
         )
         if len(levels) == 1:
-            dtable_parts[levels[0]] = level_grad(locals_[0], wgs[0], t_l)
+            li, wg = streams[levels[0]]
+            dtable_parts[levels[0]] = level_grad(li, wg, t_l)
         else:
-            stacked_idx = jnp.stack(locals_)
-            stacked_wg = jnp.stack(wgs)
+            stacked_idx = jnp.stack([streams[l][0] for l in levels])
+            stacked_wg = jnp.stack([streams[l][1] for l in levels])
 
-            def body(carry, inp):
+            def body(carry, inp, _grad=level_grad, _t=t_l):
                 li, lwg = inp
-                return carry, level_grad(li, lwg, t_l)
+                return carry, _grad(li, lwg, _t)
 
             _, grads = jax.lax.scan(body, None, (stacked_idx, stacked_wg))
             for gi, level in enumerate(levels):
@@ -803,7 +934,7 @@ def _encode_jac_bwd(spec, res, cts):
 
     dtable = jnp.concatenate(
         [dtable_parts[level] for level in range(spec.n_levels)], axis=1
-    ).astype(g_all.dtype)
+    ).astype(tab_dtype)
     dx = dx_t.T.reshape(*batch_shape, spec.n_input_dims).astype(x.dtype)
     dmask = None if level_mask is None else jnp.zeros_like(level_mask)
     return dtable, dx, dmask

@@ -76,11 +76,12 @@ def _scene(model):
     occ = model.init_occupancy()
     grid = occ["grid"]
     ones = jnp.ones_like(grid.binary)
+    res = getattr(model, "occupancy_grid_res", None) or model.occ_spec.resolution
     occ = {
         "grid": grid._replace(
             binary=ones,
             binary_dilated=ones,
-            bricks=pack_bricks(ones, model.occupancy_grid_res),
+            bricks=pack_bricks(ones, res),
         )
     }
     key = jax.random.PRNGKey(1)
@@ -138,6 +139,108 @@ def test_dedup_train_gradients_match():
         )
         return ((out["comp_rgb"] - target) ** 2).sum()
 
+    g1 = jax.grad(lambda p: loss(p, m1))(params)
+    g0 = jax.grad(lambda p: loss(p, m0))(params)
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    flat0, _ = jax.tree_util.tree_flatten(g0)
+    for a, b in zip(flat1, flat0):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() < 3e-3 * scale, (a.shape,)
+
+
+# ---------------------------------------------------------------------------
+# NeuS (VolumeSDF, jac second-order path)
+# ---------------------------------------------------------------------------
+
+
+def _neus_model(dedup: bool):
+    cfg = config_from_dict(
+        {
+            "name": "neus",
+            "radius": 1.0,
+            "num_samples_per_ray": 1024,
+            "learned_background": False,
+            "grid_prune": True,
+            "hash_tap_dedup": dedup,
+            "background_color": "white",
+            "cos_anneal_end": 200,
+            "variance": {"init_val": 0.3, "modulate": False},
+            "geometry": {
+                "name": "volume-sdf",
+                "radius": 1.0,
+                "feature_dim": 13,
+                "grad_type": "analytic",
+                "analytic_jac": True,  # jac path even on CPU
+                "isosurface": None,
+                "xyz_encoding_config": {
+                    "otype": "HashGrid",
+                    "n_levels": 8,
+                    "n_features_per_level": 2,
+                    "log2_hashmap_size": 16,
+                    "base_resolution": 16,
+                    "per_level_scale": 1.447269237440378,
+                    "grad_mode": "fast",
+                    "include_xyz": True,
+                },
+                "mlp_network_config": {
+                    "otype": "VanillaMLP",
+                    "activation": "ReLU",
+                    "output_activation": "none",
+                    "n_neurons": 64,
+                    "n_hidden_layers": 1,
+                    "sphere_init": True,
+                    "sphere_init_radius": 0.5,
+                    "weight_norm": True,
+                },
+            },
+            "texture": {
+                "name": "volume-radiance",
+                "input_feature_dim": 16,
+                "dir_encoding_config": {
+                    "otype": "SphericalHarmonics",
+                    "degree": 4,
+                },
+                "mlp_network_config": {
+                    "otype": "FullyFusedMLP",
+                    "activation": "ReLU",
+                    "output_activation": "Sigmoid",
+                    "n_neurons": 64,
+                    "n_hidden_layers": 2,
+                },
+            },
+        }
+    )
+    return models.make(cfg.name, cfg)
+
+
+def test_neus_dedup_is_configured():
+    m = _neus_model(True)
+    enc = m.geometry.encoding
+    assert enc.dedup_spec is not None
+    assert any(g == 8 for g in enc.dedup_spec.dedup_group_sizes)
+    assert _neus_model(False).geometry.encoding.dedup_spec is None
+
+
+def test_neus_dedup_render_and_grads_match():
+    m1, m0 = _neus_model(True), _neus_model(False)
+    params, occ, rays_o, rays_d = _scene(m1)
+    target = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(3), (32, 3)), 0.0, 1.0
+    )
+
+    def loss(p, m):
+        out = m.forward(
+            p, occ, rays_o, rays_d,
+            background_color=jnp.ones(3),
+            capacity=CAPACITY, step=100, train=True,
+        )
+        eik = ((jnp.linalg.norm(out["sdf_grad_samples"], axis=-1) - 1.0) ** 2)
+        eik = jnp.where(out["sample_valid"], eik, 0.0).mean()
+        return ((out["comp_rgb"] - target) ** 2).sum() + 0.1 * eik
+
+    l1, l0 = float(loss(params, m1)), float(loss(params, m0))
+    np.testing.assert_allclose(l1, l0, rtol=1e-4)
     g1 = jax.grad(lambda p: loss(p, m1))(params)
     g0 = jax.grad(lambda p: loss(p, m0))(params)
     flat1, _ = jax.tree_util.tree_flatten(g1)

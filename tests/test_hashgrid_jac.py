@@ -126,3 +126,77 @@ def test_eikonal_shaped_training_graph(setup):
     for g in (gt, gw):
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(gt).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# per-group tap dedup on the jac path (NeuS analytic second-order)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+def _block_setup_jac(g=8, nblocks=48, step=0.01):
+    """Uniform-step runs per aligned g-block (the group-compacted march
+    layout); step=0.01 gives a mixed dedup split for SPEC (coarse levels
+    g=8/g=4, finest per-sample)."""
+    spec = dataclasses.replace(SPEC, dedup_group=g, dedup_step=step)
+    table = hashgrid_init(jax.random.PRNGKey(0), spec) * 1000.0
+    x0 = jax.random.uniform(
+        jax.random.PRNGKey(4), (nblocks, 3), minval=0.02, maxval=0.98
+    )
+    d = jax.random.normal(jax.random.PRNGKey(5), (nblocks, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    i = jnp.arange(g, dtype=jnp.float32)[None, :, None]
+    x = jnp.clip(x0[:, None] + d[:, None] * (i * step), 0.0, 1.0)
+    return spec, table, x.reshape(-1, 3)
+
+
+def test_dedup_jac_forward_matches_per_sample():
+    spec, table, x = _block_setup_jac()
+    assert any(v for v in spec.dedup_group_sizes), spec.dedup_group_sizes
+    feat_d, jac_d = hashgrid_encode_with_jac(table, x, spec)
+    feat_p, jac_p = hashgrid_encode_with_jac(table, x, SPEC)
+    np.testing.assert_allclose(
+        np.asarray(feat_d), np.asarray(feat_p), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jac_d), np.asarray(jac_p), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dedup_jac_backward_matches_per_sample():
+    spec, table, x = _block_setup_jac()
+    n = x.shape[0]
+    ct_f = jax.random.normal(jax.random.PRNGKey(6), (n, SPEC.n_output_dims))
+    ct_j = jax.random.normal(
+        jax.random.PRNGKey(7), (3, n, SPEC.n_output_dims)
+    )
+
+    def loss(t, xx, sp):
+        feat, jac = hashgrid_encode_with_jac(t, xx, sp)
+        return (feat * ct_f).sum() + (jac * ct_j).sum()
+
+    gd_t, gd_x = jax.grad(loss, argnums=(0, 1))(table, x, spec)
+    gp_t, gp_x = jax.grad(loss, argnums=(0, 1))(table, x, SPEC)
+    scale_t = np.abs(np.asarray(gp_t)).max()
+    assert np.abs(np.asarray(gd_t) - np.asarray(gp_t)).max() < 3e-3 * scale_t
+    scale_x = np.abs(np.asarray(gp_x)).max()
+    np.testing.assert_allclose(
+        np.asarray(gd_x), np.asarray(gp_x), rtol=1e-3, atol=1e-4 * scale_x
+    )
+
+
+def test_dedup_jac_second_order_training_graph():
+    """Differentiate THROUGH the jac (eikonal-style): grad of a loss built
+    on the jac norm must match between dedup and per-sample paths."""
+    spec, table, x = _block_setup_jac()
+
+    def loss(t, sp):
+        feat, jac = hashgrid_encode_with_jac(t, x, sp)
+        gnorm = jnp.sqrt((jac.sum(-1) ** 2).sum(0) + 1e-9)
+        return ((gnorm - 1.0) ** 2).mean() + (feat**2).mean()
+
+    gd = jax.grad(loss)(table, spec)
+    gp = jax.grad(loss)(table, SPEC)
+    scale = np.abs(np.asarray(gp)).max()
+    assert np.abs(np.asarray(gd) - np.asarray(gp)).max() < 3e-3 * scale
