@@ -572,10 +572,26 @@ class BaseSystem:
             out = self._jitted[key](state, ro, rd)
             return {k: np.asarray(v)[:n_real] for k, v in out.items()}
 
+        import sys
+        import time as _time
+
+        t_render0 = _time.time()
         outs = []
+        last_beat = _time.time()
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             outs.append(render_chunk_np(rays_o[start:end], rays_d[start:end]))
+            if _time.time() - last_beat > 60.0:
+                # liveness heartbeat: full-image renders + retry passes can
+                # run many minutes with no other output, and the stall
+                # watchdog (scripts/run_with_watchdog.sh) kills processes
+                # whose log stops growing
+                print(
+                    f"[render] view {index}: {end}/{n} rays "
+                    f"({_time.time() - t_render0:.0f}s)",
+                    flush=True, file=sys.stderr,
+                )
+                last_beat = _time.time()
         merged = {
             k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
@@ -594,6 +610,12 @@ class BaseSystem:
                 bad = np.nonzero(~merged["rays_kept"][:, 0].astype(bool))[0]
                 if len(bad) == 0:
                     break
+                print(
+                    f"[render] view {index}: retry pass — {len(bad)} "
+                    f"overflowed rays, group={group_size}, capacity x{scale} "
+                    f"({_time.time() - t_render0:.0f}s)",
+                    flush=True, file=sys.stderr,
+                )
                 if group_size == 1 and prev_bad is not None and len(bad) >= prev_bad:
                     scale *= 2
                     prev_bad = None

@@ -163,14 +163,27 @@ class Trainer:
                 self._log(metrics, step)
                 # dynamic ray batching (bucketed; reference systems/nerf.py:93-95)
                 system.adapt_num_rays(metrics.get("train/num_samples", 0.0))
-            if self.val_check_interval and step % self.val_check_interval == 0:
-                ta = time.time()
-                self._run_validation(system, state, val_data, step)
-                aux_secs += time.time() - ta
+            # checkpoint BEFORE validation: a kill during a long val render
+            # (e.g. the stall watchdog) then resumes at this step instead of
+            # retraining the whole cadence interval
             if self.ckpt_every and step % self.ckpt_every == 0:
                 ta = time.time()
                 self.save(system, state, step)
                 aux_secs += time.time() - ta
+            if self.val_check_interval and step % self.val_check_interval == 0:
+                ta = time.time()
+                self._run_validation(system, state, val_data, step)
+                aux_secs += time.time() - ta
+        if (
+            self.val_check_interval
+            and start_step >= self.max_steps
+            and self.max_steps % self.val_check_interval == 0
+        ):
+            # resumed AT max_steps (e.g. watchdog killed the final val):
+            # the loop above never ran, so run the final validation here
+            ta = time.time()
+            self._run_validation(system, state, val_data, int(state["step"]))
+            aux_secs += time.time() - ta
         self.save(system, state, int(state["step"]))
         # measured walls (VERDICT r3 #7): fit = everything from resume point
         # to final save; train = fit minus val renders + checkpoints (still

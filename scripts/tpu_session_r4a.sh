@@ -12,17 +12,27 @@ OUT="${1:-/root/repo/runs/r4a}"
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT"
 
-echo "=== [1/3] hash bench, dedup OFF $(date +%H:%M:%S) ==="
+echo "=== [1/5] nerf hash bench, dedup OFF $(date +%H:%M:%S) ==="
 INSR_DISABLE_HASH_DEDUP=1 timeout 2400 python bench.py \
   --workload nerf --encoding hash > "$OUT/bench_hash_nodedup.log" 2>&1
 grep -h '"metric"' "$OUT/bench_hash_nodedup.log" | tail -2
 
-echo "=== [2/3] hash bench, dedup ON $(date +%H:%M:%S) ==="
+echo "=== [2/5] nerf hash bench, dedup ON $(date +%H:%M:%S) ==="
 timeout 2400 python bench.py \
   --workload nerf --encoding hash > "$OUT/bench_hash_dedup.log" 2>&1
 grep -h '"metric"' "$OUT/bench_hash_dedup.log" | tail -2
 
-echo "=== [3/3] CP flagship trace $(date +%H:%M:%S) ==="
+echo "=== [3/5] neus hash bench, dedup OFF $(date +%H:%M:%S) ==="
+INSR_DISABLE_HASH_DEDUP=1 timeout 2400 python bench.py \
+  --workload neus --encoding hash > "$OUT/bench_neus_hash_nodedup.log" 2>&1
+grep -h '"metric"' "$OUT/bench_neus_hash_nodedup.log" | tail -2
+
+echo "=== [4/5] neus hash bench, dedup ON $(date +%H:%M:%S) ==="
+timeout 2400 python bench.py \
+  --workload neus --encoding hash > "$OUT/bench_neus_hash_dedup.log" 2>&1
+grep -h '"metric"' "$OUT/bench_neus_hash_dedup.log" | tail -2
+
+echo "=== [5/5] CP flagship trace $(date +%H:%M:%S) ==="
 timeout 2400 python scripts/trace_step.py --workload nerf \
   --outdir "$OUT/trace_nerf" > "$OUT/trace_nerf.log" 2>&1
 tail -40 "$OUT/trace_nerf.log"
