@@ -501,30 +501,35 @@ def _expand_groups(
     packed per-sample buffers, reconstructing distances analytically from
     the uniform step schedule ``t_start[ray, s] = t_min[ray] + s * step``
     (t_min includes the stratified jitter)."""
+    # flat (CAP,) construction: every intermediate keeps the big axis as
+    # the minor dim — the earlier (CAP/k, k) formulation lane-padded k=8
+    # to 128 (16x) and showed up as ~0.5 ms of relayout in the step trace.
+    # jnp.repeat(..., k) on the minor axis is a broadcast + row-major
+    # reshape, both fusable.
     g_packed = sel < R * sg
     g_safe = jnp.minimum(sel, R * sg - 1).astype(jnp.int32)
     g_ray = g_safe // sg  # (CAP/k,)
     g_idx = g_safe % sg
-    off = jnp.arange(k, dtype=jnp.float32)[None, :]  # (1, k)
-    s_idx = g_idx[:, None].astype(jnp.float32) * k + off  # (CAP/k, k)
-    base = t_min[g_ray][:, None]
-    ts = base + s_idx * step
+    cap = sel.shape[0] * k
+    off = (jnp.arange(cap, dtype=jnp.int32) % k).astype(jnp.float32)
+    s_idx = jnp.repeat(g_idx, k).astype(jnp.float32) * k + off  # (CAP,)
+    gpf = jnp.repeat(g_packed, k)  # (CAP,)
+    rayf = jnp.repeat(g_ray, k)
+    ts = jnp.repeat(t_min[g_ray], k) + s_idx * step
     te = ts + step
-    in_range = 0.5 * (ts + te) < t_max[g_ray][:, None]
-    pv = g_packed[:, None] & in_range
-    ray_indices = jnp.where(g_packed[:, None], g_ray[:, None], R - 1)
-    ray_indices = jnp.broadcast_to(ray_indices, pv.shape).reshape(-1)
+    in_range = 0.5 * (ts + te) < jnp.repeat(t_max[g_ray], k)
+    pv = gpf & in_range
+    ray_indices = jnp.where(gpf, rayf, R - 1)
     # out-of-range slots of a packed block KEEP their analytic schedule t
     # (only fully-dead padding blocks zero out): every aligned k-block is
     # then a uniform-step run of one ray, so downstream per-block
     # structure (hash-grid tap dedup, ops/hashgrid.py) stays sound. The
     # slots remain valid=False and are never composited.
-    gp = jnp.broadcast_to(g_packed[:, None], pv.shape)
     return PackedSamples(
         ray_indices=ray_indices.astype(jnp.int32),
-        t_starts=jnp.where(gp, ts, 0.0).reshape(-1),
-        t_ends=jnp.where(gp, te, 0.0).reshape(-1),
-        valid=pv.reshape(-1),
+        t_starts=jnp.where(gpf, ts, 0.0),
+        t_ends=jnp.where(gpf, te, 0.0),
+        valid=pv,
         num_valid=num_valid,
         ray_kept=ray_kept,
         ray_ends=ray_ends,
