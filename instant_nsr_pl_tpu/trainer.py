@@ -211,6 +211,13 @@ class Trainer:
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-{i}.png", specs
                 )
+                # per-view line: mean PSNR hides single-view collapses
+                # (round-4 diagnosis: one view at 15 dB inside a 29.7 mean)
+                print(
+                    f"[val] view {i}: psnr={float(res['psnr']):.2f} "
+                    f"ssim={float(res['ssim']):.4f}",
+                    flush=True,
+                )
         self._log(
             {"val/psnr": float(np.mean(psnrs)), "val/ssim": float(np.mean(ssims))},
             step,
@@ -238,6 +245,11 @@ class Trainer:
                 specs = system.image_grid_specs(res)
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-test/{i}.png", specs
+                )
+                print(
+                    f"[test] view {i}: psnr={float(res['psnr']):.2f} "
+                    f"ssim={float(res['ssim']):.4f}",
+                    flush=True,
                 )
         psnr = float(np.mean(psnrs))
         self._log({"test/psnr": psnr, "test/ssim": float(np.mean(ssims))}, step)
