@@ -263,20 +263,39 @@ def probe_bricks_lanes(bricks, cx, cy, cz, resolution: int):
     bbx, bby, bbz = bx >> 3, by >> 3, bz >> 3
     bid = (bbz * nb + bby) * nb + bbx  # (R, SG/r)
     rows = bricks[bid.reshape(-1)].reshape(R, SG // r, 128)  # the only gather
-    lx = (cx - jnp.repeat(bbx << 3, r, axis=1)).astype(jnp.uint32)
-    ly = (cy - jnp.repeat(bby << 3, r, axis=1)).astype(jnp.uint32)
-    lz = (cz - jnp.repeat(bbz << 3, r, axis=1)).astype(jnp.uint32)
+    # ONE run->group expansion (bid), brick coords recovered per group by
+    # modular arithmetic: each jnp.repeat materializes a 32x-tile-padded
+    # (R, SG/r, r) intermediate (~0.2 ms each in the step trace), so three
+    # coordinate repeats cost ~3x this single one
+    bidr = jnp.repeat(bid, r, axis=1)  # (R, SG)
+    bxr = (bidr % nb) << 3
+    byr = ((bidr // nb) % nb) << 3
+    bzr = (bidr // (nb * nb)) << 3
+    lx = (cx - bxr).astype(jnp.uint32)
+    ly = (cy - byr).astype(jnp.uint32)
+    lz = (cz - bzr).astype(jnp.uint32)
     w = ((ly >> 1) + 8 * lz).astype(jnp.int32)  # (R, SG) word index
     bit = lx + 16 * (ly & 1)
     # virtual (R, SG, 128) select-reduce: the repeat is a broadcast + a
     # row-major-preserving reshape, both fusable — rows stream from HBM
-    # once, nothing (R, SG, 128)-shaped is materialized
-    rows_rep = jnp.repeat(rows, r, axis=1)  # (R, SG, 128) virtual
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, SG, 128), 2)
-    word = jnp.where(lanes == w[..., None], rows_rep, jnp.uint32(0)).sum(
-        -1, dtype=jnp.uint32
-    )
-    return ((word >> bit) & 1).astype(bool)
+    # once, nothing (R, SG, 128)-shaped is materialized. The BIT is
+    # extracted inside the same select (shift per group, broadcast over
+    # lanes): selecting the u32 word first produced a T(4,128)-tiled
+    # (R, SG/r, r) output plus a layout copy + flatten (~0.4 ms/step in
+    # the trace) before the bit test could run.
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (R, SG // r, 128), 2)
+    hits = []
+    for j in range(r):
+        wj = w[:, j::r]  # (R, SG/r) lane-strided
+        bj = bit[:, j::r]
+        bv = (rows >> bj[..., None]) & jnp.uint32(1)
+        hits.append(
+            jnp.where(lanes2 == wj[..., None], bv, jnp.uint32(0)).sum(
+                -1, dtype=jnp.uint32
+            )
+        )
+    hit = jnp.stack(hits, axis=2).reshape(R, SG)
+    return hit.astype(bool)
 
 
 def _cell_coords(indices, resolution):
@@ -515,9 +534,13 @@ def _expand_groups(
     s_idx = jnp.repeat(g_idx, k).astype(jnp.float32) * k + off  # (CAP,)
     gpf = jnp.repeat(g_packed, k)  # (CAP,)
     rayf = jnp.repeat(g_ray, k)
-    ts = jnp.repeat(t_min[g_ray], k) + s_idx * step
+    # one paired row gather for (t_min, t_max): XLA's TPU gather costs
+    # ~6 ns per ROW regardless of width, so two separate 1-wide gathers
+    # cost twice this one (measured 234 us each at CAP/k = 32768)
+    tmm = jnp.stack([t_min, t_max], axis=1)[g_ray]  # (CAP/k, 2)
+    ts = jnp.repeat(tmm[:, 0], k) + s_idx * step
     te = ts + step
-    in_range = 0.5 * (ts + te) < jnp.repeat(t_max[g_ray], k)
+    in_range = 0.5 * (ts + te) < jnp.repeat(tmm[:, 1], k)
     pv = gpf & in_range
     ray_indices = jnp.where(gpf, rayf, R - 1)
     # out-of-range slots of a packed block KEEP their analytic schedule t

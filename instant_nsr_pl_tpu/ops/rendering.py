@@ -245,10 +245,14 @@ def accumulate_along_rays(
     assert n_rays is not None
     if valid is not None:
         weights = jnp.where(valid, weights, 0.0)
-    if ends is not None and not os.environ.get("INSR_DISABLE_ACC_FM"):
-        # feature-major lane-native path: the whole contraction runs with
-        # the big axis last — lane-strided block reduce + feature-major
-        # segmented scan (no (G, D<128) or (g, k, D) tile-padded shapes)
+    if ends is not None and os.environ.get("INSR_ACC_FM"):
+        # feature-major lane-native contraction — MEASURED REGRESSION on
+        # v5e, kept opt-in as a documented experiment (PERF.md round 4):
+        # the (D, G) associative_scan with minor-axis shifts compiled into
+        # an 8.2 ms/step fusion vs ~0.7 ms for the row-major block-reduce +
+        # (G, D) scan it replaced — the (G, D<128) tile pad this avoids is
+        # cheaper than lane-axis scan shifts at D=5. Trace A/B:
+        # scripts/trace_step.py, 20.47 vs 12.93 ms/step wall.
         if values is None:
             src_t = weights[None, :]  # (1, CAP)
         else:

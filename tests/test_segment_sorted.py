@@ -203,15 +203,14 @@ def test_accumulate_fm_matches_row_major(monkeypatch):
     rng = np.random.default_rng(3)
     w, vals, ri, valid, ends, n_rays, k = _grouped_packed_case(rng)
     for values in (None, vals):
-        monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
+        monkeypatch.setenv("INSR_ACC_FM", "1")
         fm = accumulate_along_rays(
             w, ri, values, n_rays=n_rays, valid=valid, group=k, ends=ends
         )
-        monkeypatch.setenv("INSR_DISABLE_ACC_FM", "1")
+        monkeypatch.delenv("INSR_ACC_FM", raising=False)
         rm = accumulate_along_rays(
             w, ri, values, n_rays=n_rays, valid=valid, group=k, ends=ends
         )
-        monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
         np.testing.assert_allclose(
             np.asarray(fm), np.asarray(rm), rtol=1e-5, atol=1e-6
         )
@@ -227,9 +226,9 @@ def test_accumulate_fm_grads_match(monkeypatch):
         )
         return (acc * jnp.arange(acc.size).reshape(acc.shape)).sum()
 
-    monkeypatch.delenv("INSR_DISABLE_ACC_FM", raising=False)
+    monkeypatch.setenv("INSR_ACC_FM", "1")
     gw_fm, gv_fm = jax.grad(loss, argnums=(0, 1))(w, vals)
-    monkeypatch.setenv("INSR_DISABLE_ACC_FM", "1")
+    monkeypatch.delenv("INSR_ACC_FM", raising=False)
     gw_rm, gv_rm = jax.grad(loss, argnums=(0, 1))(w, vals)
     np.testing.assert_allclose(
         np.asarray(gw_fm), np.asarray(gw_rm), rtol=1e-5, atol=1e-6
