@@ -269,3 +269,31 @@ def test_dp_train_chunk_matches_per_step_loop():
         losses_a[-1], float(metrics_b["train/loss"]), rtol=2e-2, atol=1e-5
     )
     assert np.isfinite(float(metrics_b["train/loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_training_with_hash_tap_dedup():
+    """Tap dedup under the sharded DP plan: the per-device packed capacity
+    must stay block-divisible and the sharded step must train (the dedup
+    spec is chosen at trace time inside shard_map)."""
+    cfg = _cfg()
+    cfg.model["num_samples_per_ray"] = 1024  # strided march picks k=8
+    cfg.model["train_num_samples"] = 16384  # 2048/device, % 8 == 0
+    cfg.model["geometry"]["xyz_encoding_config"]["grad_mode"] = "fast"
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    dm.setup("fit")
+    system = systems.make(cfg.system.name, cfg)
+    system.setup_data(dm.train)
+    enc = system.model.geometry.encoding_with_network.encoding
+    assert enc.dedup_spec is not None  # wiring reached the encoding
+    mesh = make_mesh(8)
+    system.configure_parallel(mesh)
+    state = system.init_state(seed=0)
+    first = None
+    for _ in range(30):
+        state, metrics = system.train_step(state)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+    last = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(last["train/loss"])
+    assert last["train/loss"] < first["train/loss"]
