@@ -124,8 +124,14 @@ class HashGridSpec:
             return tuple(0 for _ in range(self.n_levels))
         out = []
         for s in self.scales:
+            # A halved g is only usable if it DIVIDES dedup_group: the march
+            # guarantees single-ray uniform-step runs per dedup_group block,
+            # and non-dividing g-blocks would straddle two such runs (mixing
+            # rays / non-uniform spans, breaking the lattice-cover premise).
             g = self.dedup_group
-            while g >= 4 and g * self.dedup_step * s > 1.0:
+            while g >= 4 and (
+                g * self.dedup_step * s > 1.0 or self.dedup_group % g
+            ):
                 g //= 2
             out.append(g if g >= 4 else 0)
         return tuple(out)
@@ -288,12 +294,20 @@ def _lattice_w27(w3):
 
 
 def _lattice_axis_dtents(t):
-    """d tent(t_d - o) / d pos_d: (3, 3, N) — piecewise-constant +-1 inside
-    the support, 0 outside (and 0 at the measure-zero kink, matching the
-    convention of the per-sample jac path at cell boundaries)."""
+    """d tent(t_d - o) / d pos_d: (3, 3, N) — RIGHT-continuous piecewise
+    constant (+1 on [-1, 0), -1 on [0, 1), 0 outside), matching the
+    per-sample jac path (_jac_weights): that path evaluates the in-cell
+    constant derivative of the floor(pos) cell, so at exactly-integer grid
+    positions (frac == 0) it yields the right difference T[i+1] - T[i];
+    the half-open support reproduces it (u==0 starts the descending tent,
+    u==-1 the ascending one)."""
     offs3 = jnp.arange(3, dtype=jnp.float32)[None, :, None]
     u = t[:, None, :] - offs3  # (3, 3, N)
-    return jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)
+    return jnp.where(
+        (u >= -1.0) & (u < 0.0),
+        1.0,
+        jnp.where((u >= 0.0) & (u < 1.0), -1.0, 0.0),
+    )
 
 
 _LATTICE_OTHERS = ((1, 2), (0, 2), (0, 1))

@@ -186,6 +186,55 @@ def test_dedup_jac_backward_matches_per_sample():
     )
 
 
+def test_dedup_group_sizes_divide_group():
+    """ADVICE r4 (medium): a halved dedup block size must DIVIDE the
+    configured group, else blocks straddle the march's k-aligned single-ray
+    runs. Non-power-of-two groups must fall back to per-sample (0) rather
+    than emit a non-dividing g."""
+    for group in (9, 11, 12):
+        spec = dataclasses.replace(SPEC, dedup_group=group, dedup_step=0.01)
+        for g in spec.dedup_group_sizes:
+            assert g == 0 or (g >= 4 and group % g == 0), (
+                group,
+                spec.dedup_group_sizes,
+            )
+    # power-of-two groups keep their mixed split (the production config)
+    spec8 = dataclasses.replace(SPEC, dedup_group=8, dedup_step=0.01)
+    assert any(g == 8 for g in spec8.dedup_group_sizes)
+    assert all(g in (0, 4, 8) for g in spec8.dedup_group_sizes)
+
+
+def test_dedup_jac_grid_aligned_positions():
+    """ADVICE r4: at exactly-integer grid positions the lattice dtent must
+    reproduce the per-sample floor-cell (right-difference) derivative, not
+    zero. Build blocks whose first sample is grid-aligned for level 0."""
+    g, step = 8, 0.002
+    spec = dataclasses.replace(SPEC, dedup_group=g, dedup_step=step)
+    assert spec.dedup_group_sizes[0] == g
+    s0 = spec.scales[0]
+    # x such that x * s0 + 0.5 is an exact integer (grid-aligned at level 0)
+    ks = np.arange(1, 3, dtype=np.float64)
+    x0 = ((ks - 0.5) / s0).astype(np.float32)
+    starts = np.stack([x0, x0[::-1], np.full_like(x0, 0.37)], axis=-1)
+    i = np.arange(g, dtype=np.float32)[None, :, None]
+    d = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+    x = jnp.asarray(
+        (starts[:, None] + d[:, None] * (i * step)).reshape(-1, 3)
+    )
+    # the first sample of each block must be exactly grid-aligned in dim 0/1
+    pos = np.asarray(x) * s0 + 0.5
+    assert abs(pos[0, 0] - round(pos[0, 0])) < 1e-5
+    table = hashgrid_init(jax.random.PRNGKey(0), spec) * 1000.0
+    feat_d, jac_d = hashgrid_encode_with_jac(table, x, spec)
+    feat_p, jac_p = hashgrid_encode_with_jac(table, x, SPEC)
+    np.testing.assert_allclose(
+        np.asarray(feat_d), np.asarray(feat_p), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jac_d), np.asarray(jac_p), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_dedup_jac_second_order_training_graph():
     """Differentiate THROUGH the jac (eikonal-style): grad of a loss built
     on the jac norm must match between dedup and per-sample paths."""

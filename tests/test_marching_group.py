@@ -242,3 +242,33 @@ def test_word_pipeline_matches_plain_twins():
         np.testing.assert_array_equal(
             np.asarray(br2), np.asarray(pack_bricks(d_ref, res))
         )
+
+
+def test_select_groups_two_level_matches_single_sort():
+    """The two-level (super-group -> group) compaction selection must
+    reproduce the single-sort output bit-for-bit, at every fill level and
+    truncation regime (round-5 perf: fewer sorted keys, PERF.md)."""
+    from instant_nsr_pl_tpu.ops.marching import _select_groups
+
+    def single_sort(gvalid, R, sg, cap_g):
+        src = jnp.arange(R * sg, dtype=jnp.int32)
+        keys = jnp.where(gvalid.reshape(-1), src, jnp.int32(R * sg))
+        (sorted_keys,) = jax.lax.sort((keys,), num_keys=1)
+        return sorted_keys[:cap_g]
+
+    for seed, R, sg, cap_g, p in (
+        (0, 64, 32, 128, 0.05),   # sparse, ample capacity
+        (1, 64, 32, 128, 0.6),    # dense -> truncation
+        (2, 64, 32, 20480 // 32, 1.0),  # fully live
+        (3, 64, 32, 64, 0.0),     # empty
+        (4, 16, 8, 4096, 0.3),    # cap_g >= R*sgq -> single-sort branch
+        (5, 64, 30, 128, 0.3),    # sg not divisible by Q -> fallback
+    ):
+        gvalid = jax.random.bernoulli(
+            jax.random.PRNGKey(seed), p, (R, sg)
+        )
+        got = _select_groups(gvalid, R, sg, cap_g)
+        want = single_sort(gvalid, R, sg, cap_g)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"seed={seed}"
+        )
