@@ -525,15 +525,17 @@ def _expand_groups(
     # to 128 (16x) and showed up as ~0.5 ms of relayout in the step trace.
     # jnp.repeat(..., k) on the minor axis is a broadcast + row-major
     # reshape, both fusable.
-    g_packed = sel < R * sg
-    g_safe = jnp.minimum(sel, R * sg - 1).astype(jnp.int32)
-    g_ray = g_safe // sg  # (CAP/k,)
-    g_idx = g_safe % sg
+    g_ray = jnp.minimum(sel, R * sg - 1).astype(jnp.int32) // sg  # (CAP/k,)
     cap = sel.shape[0] * k
     off = (jnp.arange(cap, dtype=jnp.int32) % k).astype(jnp.float32)
-    s_idx = jnp.repeat(g_idx, k).astype(jnp.float32) * k + off  # (CAP,)
-    gpf = jnp.repeat(g_packed, k)  # (CAP,)
-    rayf = jnp.repeat(g_ray, k)
+    # ONE group->sample expansion of the raw id; packed-flag / ray / group
+    # index recovered arithmetically (each jnp.repeat materializes a
+    # tile-padded (CAP/k, k) broadcast — CLAUDE.md round-4 lesson)
+    sel_f = jnp.repeat(sel, k)  # (CAP,)
+    gpf = sel_f < R * sg
+    safe_f = jnp.minimum(sel_f, R * sg - 1).astype(jnp.int32)
+    rayf = safe_f // sg
+    s_idx = (safe_f % sg).astype(jnp.float32) * k + off  # (CAP,)
     # one paired row gather for (t_min, t_max): XLA's TPU gather costs
     # ~6 ns per ROW regardless of width, so two separate 1-wide gathers
     # cost twice this one (measured 234 us each at CAP/k = 32768)
