@@ -238,6 +238,21 @@ class Trainer:
         n = int(data["images"].shape[0])
         psnrs, ssims = [], []
         for i in range(n):
+            # restart resumability: a watchdog restart resumes into the SAME
+            # trial dir (launch.py); views already rendered (png + metrics
+            # sidecar) are skipped, so a tunnel stall mid-test loses one
+            # view instead of the whole sweep
+            png = os.path.join(self.save_dir, f"it{step}-test", f"{i}.png")
+            sidecar = png[:-4] + ".json"
+            if os.path.exists(png) and os.path.exists(sidecar):
+                import json as _json
+
+                with open(sidecar) as f:
+                    cached = _json.load(f)
+                psnrs.append(cached["psnr"])
+                ssims.append(cached["ssim"])
+                print(f"[test] view {i}: cached ({png})", flush=True)
+                continue
             res = system.evaluate_image(state, i, data=data)
             psnrs.append(res["psnr"])
             ssims.append(res["ssim"])
@@ -246,6 +261,13 @@ class Trainer:
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-test/{i}.png", specs
                 )
+                import json as _json
+
+                with open(sidecar, "w") as f:
+                    _json.dump(
+                        {"psnr": float(res["psnr"]), "ssim": float(res["ssim"])},
+                        f,
+                    )
                 print(
                     f"[test] view {i}: psnr={float(res['psnr']):.2f} "
                     f"ssim={float(res['ssim']):.4f}",

@@ -93,6 +93,22 @@ def main():
 
     name = config.get("name", os.path.splitext(os.path.basename(args.config))[0])
     tag = config.get("tag", "") or ""
+    if (
+        getattr(args, "resume", None)
+        and not getattr(args, "resume_weights_only", False)
+        and not config.get("trial_name")
+    ):
+        # Resuming a run (e.g. a watchdog restart after a tunnel stall):
+        # reuse the interrupted trial dir when the checkpoint lives under
+        # this exp layout, so checkpoints/renders/logs ACCUMULATE instead
+        # of starting over in a fresh trial — this is what lets the test
+        # loop skip already-rendered views (trainer.py).
+        ckd = os.path.dirname(os.path.abspath(args.resume))
+        trial_dir = os.path.dirname(ckd)
+        if os.path.basename(ckd) == "ckpt" and os.path.dirname(
+            trial_dir
+        ) == os.path.abspath(os.path.join(args.exp_dir, name)):
+            config["trial_name"] = os.path.basename(trial_dir)
     if not config.get("trial_name"):
         trial = (tag + "@" if tag else "") + datetime.now().strftime(
             "%Y%m%d-%H%M%S"
