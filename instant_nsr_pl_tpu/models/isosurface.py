@@ -36,6 +36,10 @@ def _eval_level_grid(geometry, params, vmin, vmax, resolution, chunk, step=None)
     out = np.empty((pts.shape[0],), np.float32)
     n = pts.shape[0]
     chunk = int(chunk)
+    import sys
+    import time as _time
+
+    t0 = last_beat = _time.time()
     # fixed chunk shape: pad the tail so XLA compiles once
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
@@ -46,6 +50,17 @@ def _eval_level_grid(geometry, params, vmin, vmax, resolution, chunk, step=None)
             )
         vals = np.asarray(level_fn(jnp.asarray(block)))
         out[start:end] = vals[: end - start]
+        if _time.time() - last_beat > 60.0:
+            # liveness heartbeat: a 512^3 grid is ~70 device dispatches over
+            # the tunnel with no other output — the stall watchdog
+            # (scripts/run_with_watchdog.sh) kills silent processes
+            print(
+                f"[isosurface] {end}/{n} points "
+                f"({_time.time() - t0:.0f}s)",
+                flush=True,
+                file=sys.stderr,
+            )
+            last_beat = _time.time()
     return out.reshape(resolution, resolution, resolution)
 
 
