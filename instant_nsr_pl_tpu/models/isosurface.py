@@ -69,10 +69,32 @@ def chunked_point_eval(fn, points, chunk):
     ``points`` (N, 3) in fixed-size padded chunks — the reference's
     ``chunk_batch(..., export.chunk_size, ...)`` role for vertex-attribute
     evaluation at export time (reference models/nerf.py:156,
-    models/neus.py:317). One XLA compilation regardless of N."""
+    models/neus.py:317). One XLA compilation regardless of N.
+
+    Self-healing on device OOM: the reference's 2M-point default chunk can
+    RESOURCE_EXHAUST a chip when ``fn`` is the analytic-gradient vertex
+    color eval (jac + per-level gather transients at DTU mesh sizes, with
+    the train state still resident); the chunk halves and the sweep
+    restarts (each attempt is ~1-2 min, losing partial progress is cheap
+    next to losing the whole export at step 20k)."""
     points = np.asarray(points, np.float32)
     n = points.shape[0]
     chunk = int(chunk)
+    while True:
+        try:
+            return _chunk_sweep(fn, points, n, chunk)
+        except Exception as e:  # jax runtime errors don't share one type
+            if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= 4096:
+                raise
+            chunk //= 2
+            print(
+                f"[export] point eval RESOURCE_EXHAUSTED — retrying at "
+                f"chunk={chunk}",
+                flush=True,
+            )
+
+
+def _chunk_sweep(fn, points, n, chunk):
     if n <= chunk:
         return fn(jnp.asarray(points))
     outs = []
