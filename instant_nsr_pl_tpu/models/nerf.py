@@ -276,10 +276,21 @@ class NeRFModel:
                 )
                 return jnp.clip(rgb, 0.0, 1.0)
 
-            # chunked by export.chunk_size (reference models/nerf.py:156)
-            mesh["v_rgb"] = chunked_point_eval(
-                jax.jit(vertex_rgb),
-                mesh["v_pos"],
-                export_config.get("chunk_size", 2097152),
-            )
+            # chunked by export.chunk_size (reference models/nerf.py:156).
+            # Vertex colors are a non-essential attribute: if the eval hits a
+            # device failure (observed: RESOURCE_EXHAUSTED at DTU mesh sizes
+            # even after chunk halving), save the geometry-only mesh instead
+            # of losing the whole 20k-step run's export.
+            try:
+                mesh["v_rgb"] = chunked_point_eval(
+                    jax.jit(vertex_rgb),
+                    mesh["v_pos"],
+                    export_config.get("chunk_size", 2097152),
+                )
+            except Exception as e:
+                print(
+                    f"[export] vertex-color eval failed "
+                    f"({type(e).__name__}) — saving geometry-only mesh",
+                    flush=True,
+                )
         return mesh

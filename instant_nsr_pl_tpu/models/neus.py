@@ -477,10 +477,20 @@ class NeuSModel:
                 )
                 return jnp.clip(rgb, 0.0, 1.0)
 
-            # chunked by export.chunk_size (reference models/neus.py:317)
-            mesh["v_rgb"] = chunked_point_eval(
-                jax.jit(vertex_rgb),
-                mesh["v_pos"],
-                export_config.get("chunk_size", 2097152),
-            )
+            # chunked by export.chunk_size (reference models/neus.py:317).
+            # Non-fatal: on a device failure (observed RESOURCE_EXHAUSTED at
+            # DTU mesh sizes even after chunk halving) keep the geometry-only
+            # mesh — chamfer/downstream use only needs v_pos/t_pos_idx.
+            try:
+                mesh["v_rgb"] = chunked_point_eval(
+                    jax.jit(vertex_rgb),
+                    mesh["v_pos"],
+                    export_config.get("chunk_size", 2097152),
+                )
+            except Exception as e:
+                print(
+                    f"[export] vertex-color eval failed "
+                    f"({type(e).__name__}) — saving geometry-only mesh",
+                    flush=True,
+                )
         return mesh
