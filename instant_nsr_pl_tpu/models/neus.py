@@ -482,10 +482,15 @@ class NeuSModel:
             # DTU mesh sizes even after chunk halving) keep the geometry-only
             # mesh — chamfer/downstream use only needs v_pos/t_pos_idx.
             try:
+                # the analytic-normal eval carries the jac path (~0.7 KB
+                # of transients per point): cap the chunk below the config
+                # default — after a first OOM the device client is wedged
+                # (observed: even 4 KB transfers fail), so avoid triggering
+                # it at all rather than relying on the halving retry
                 mesh["v_rgb"] = chunked_point_eval(
                     jax.jit(vertex_rgb),
                     mesh["v_pos"],
-                    export_config.get("chunk_size", 2097152),
+                    min(int(export_config.get("chunk_size", 2097152)), 262144),
                 )
             except Exception as e:
                 print(
