@@ -441,29 +441,55 @@ def run_workload(args, workload):
     # silently demote the fused path — the persistent compile cache makes
     # the retry cheap. A real fallback is recorded in the JSON line.
     fused_fallback_exc = None
-    for attempt in ("fused", "fused-retry", "composed"):
+    transient_left, same_path_left, on_fallback = 4, 1, False
+    while True:
         try:
             state, metrics = system.train_chunk(state, 1)
             float(metrics["train/loss"])
             break
         except Exception as e:  # noqa: BLE001 — unattended-run safety net
             import sys
+            import time as _time
             import traceback
 
             traceback.print_exc()
-            if attempt == "composed":
+            msg = str(e)
+            # tunnel/infra failures (observed: `remote_compile: response
+            # body closed`, INTERNAL, UNAVAILABLE — three in a row killed
+            # the round-5 neus arm) are NOT kernel problems: retry the
+            # SAME path with backoff instead of demoting to composed
+            transient = any(
+                s in msg
+                for s in ("INTERNAL", "remote_compile", "UNAVAILABLE",
+                          "DEADLINE", "body closed")
+            )
+            if transient and transient_left > 0:
+                transient_left -= 1
+                print(
+                    f"bench: transient infra error ({type(e).__name__}); "
+                    f"retrying in 30s ({transient_left} retries left)",
+                    file=sys.stderr,
+                )
+                _time.sleep(30)
+                system, state = build()
+                continue
+            if same_path_left > 0:
+                same_path_left -= 1
+                print(
+                    f"bench: first dispatch failed ({type(e).__name__}); "
+                    "retrying same path once",
+                    file=sys.stderr,
+                )
+                system, state = build()
+                continue
+            if on_fallback:
                 raise
-            if attempt == "fused-retry":
-                if _uses_fused(system):
-                    fused_fallback_exc = type(e).__name__
-                os.environ["INSR_DISABLE_FUSED"] = "1"
+            if _uses_fused(system):
+                fused_fallback_exc = type(e).__name__
+            os.environ["INSR_DISABLE_FUSED"] = "1"
+            on_fallback, transient_left, same_path_left = True, 2, 0
             print(
-                f"bench: first dispatch failed ({type(e).__name__}); "
-                + (
-                    "retrying same path once (transient-infra guard)"
-                    if attempt == "fused"
-                    else "falling back to INSR_DISABLE_FUSED=1"
-                ),
+                "bench: falling back to INSR_DISABLE_FUSED=1",
                 file=sys.stderr,
             )
             system, state = build()
