@@ -458,10 +458,13 @@ def run_workload(args, workload):
             # body closed`, INTERNAL, UNAVAILABLE — three in a row killed
             # the round-5 neus arm) are NOT kernel problems: retry the
             # SAME path with backoff instead of demoting to composed
+            # NOTE: deliberately NOT matching bare "INTERNAL" — deterministic
+            # Mosaic kernel-compile failures also surface as INTERNAL, and
+            # those must demote to composed, not burn backoff retries
             transient = any(
                 s in msg
-                for s in ("INTERNAL", "remote_compile", "UNAVAILABLE",
-                          "DEADLINE", "body closed")
+                for s in ("remote_compile", "UNAVAILABLE", "DEADLINE",
+                          "body closed", "Socket closed")
             )
             if transient and transient_left > 0:
                 transient_left -= 1

@@ -493,6 +493,11 @@ class NeuSModel:
                     min(int(export_config.get("chunk_size", 2097152)), 262144),
                 )
             except Exception as e:
+                import traceback
+
+                traceback.print_exc()  # device failures AND real bugs: keep
+                # the stack so a programming error can't hide behind the
+                # graceful geometry-only degradation
                 print(
                     f"[export] vertex-color eval failed "
                     f"({type(e).__name__}) — saving geometry-only mesh",

@@ -597,14 +597,16 @@ def _select_groups(gvalid, R, sg, cap_g):
     nib = jnp.zeros((R, sgq), jnp.int32)
     for j in range(q):
         nib = nib + (gvalid[:, j::q].astype(jnp.int32) << j)
-    sup = jnp.arange(R * sgq, dtype=jnp.int32) * 16
-    max1 = jnp.int32(R * sgq * 16)
+    # key = super_id << q | validity nibble (stride/mask derived from q so
+    # _SELECT_Q stays tunable without breaking the decode)
+    sup = jnp.arange(R * sgq, dtype=jnp.int32) << q
+    max1 = jnp.int32(R * sgq << q)
     keys1 = jnp.where(nib.reshape(-1) > 0, sup + nib.reshape(-1), max1)
     (sorted1,) = jax.lax.sort((keys1,), num_keys=1)
     sel1 = sorted1[:cap_g]
     # padding supers decode to base == R*sg exactly, so no masking needed
-    base = (sel1 >> 4) * q
-    nib_sel = sel1 & 15
+    base = (sel1 >> q) * q
+    nib_sel = sel1 & ((1 << q) - 1)
     keys2 = jnp.concatenate(
         [
             jnp.where(((nib_sel >> j) & 1) > 0, base + j, jnp.int32(R * sg))

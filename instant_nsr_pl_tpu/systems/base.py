@@ -480,7 +480,8 @@ class BaseSystem:
         replicated, no collectives needed). ``capacity_scale`` multiplies the
         configured eval capacity — ``render_image`` escalates it when even a
         lone ray overflows (possible under a plan, where each device gets
-        eval_capacity / n_dev)."""
+        min(eval_capacity, 2*eval_capacity/n_dev) — 2x headroom
+        over the even split for shard load imbalance)."""
         plan = getattr(self, "_plan", None)
         eval_capacity = self.eval_capacity * capacity_scale
 
@@ -623,7 +624,7 @@ class BaseSystem:
         # (``rays_kept`` False) rendered incomplete — re-render them with a
         # halving group size so fewer rays share the same capacity each
         # pass; if even a LONE ray overflows (possible under a data-parallel
-        # plan, where each device gets eval_capacity / n_dev), escalate the
+        # plan, where per-device capacity is the headroom formula above), escalate the
         # capacity itself (x2, x4, ...: one extra compile each, cached).
         # Complete by construction, matching the reference's contract that
         # chunk_batch renders every pixel (reference models/utils.py:13-50).
@@ -646,8 +647,13 @@ class BaseSystem:
                     group_size = max(chunk // 2, 1)  # doubled capacity: regroup
                     if scale > 8:
                         plan = getattr(self, "_plan", None)
-                        per_ray_cap = self.eval_capacity * 8 // (
-                            plan.n_dev if plan else 1
+                        cap8 = self.eval_capacity * 8
+                        # mirrors make_render_chunk's per-device formula
+                        # (2x headroom over the even split under a plan)
+                        per_ray_cap = (
+                            min(cap8, max(2 * cap8 // plan.n_dev, 1))
+                            if plan
+                            else cap8
                         )
                         raise RuntimeError(
                             f"render_image: {len(bad)}/{n} rays exceed "

@@ -8,9 +8,11 @@ happens in the system's jitted functions — this loop only schedules them.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -241,14 +243,19 @@ class Trainer:
             # restart resumability: a watchdog restart resumes into the SAME
             # trial dir (launch.py); views already rendered (png + metrics
             # sidecar) are skipped, so a tunnel stall mid-test loses one
-            # view instead of the whole sweep
+            # view instead of the whole sweep. Single-process only: under a
+            # multi-process mesh the skip decision is a per-rank filesystem
+            # check, and ranks disagreeing (non-shared fs, write races)
+            # would deadlock the collective render.
             png = os.path.join(self.save_dir, f"it{step}-test", f"{i}.png")
             sidecar = png[:-4] + ".json"
-            if os.path.exists(png) and os.path.exists(sidecar):
-                import json as _json
-
+            if (
+                jax.process_count() == 1
+                and os.path.exists(png)
+                and os.path.exists(sidecar)
+            ):
                 with open(sidecar) as f:
-                    cached = _json.load(f)
+                    cached = json.load(f)
                 psnrs.append(cached["psnr"])
                 ssims.append(cached["ssim"])
                 print(f"[test] view {i}: cached ({png})", flush=True)
@@ -261,10 +268,8 @@ class Trainer:
                 savers.save_image_grid(
                     self.save_dir, f"it{step}-test/{i}.png", specs
                 )
-                import json as _json
-
                 with open(sidecar, "w") as f:
-                    _json.dump(
+                    json.dump(
                         {"psnr": float(res["psnr"]), "ssim": float(res["ssim"])},
                         f,
                     )

@@ -259,10 +259,12 @@ def test_select_groups_two_level_matches_single_sort():
     for seed, R, sg, cap_g, p in (
         (0, 64, 32, 128, 0.05),   # sparse, ample capacity
         (1, 64, 32, 128, 0.6),    # dense -> truncation
-        (2, 64, 32, 20480 // 32, 1.0),  # fully live
+        (2, 64, 32, 20480 // 32, 1.0),  # fully live, cap_g > R*sgq -> fallback
         (3, 64, 32, 64, 0.0),     # empty
         (4, 16, 8, 4096, 0.3),    # cap_g >= R*sgq -> single-sort branch
         (5, 64, 30, 128, 0.3),    # sg not divisible by Q -> fallback
+        (6, 64, 32, 256, 1.0),    # fully live THROUGH the two-level path
+        (7, 64, 32, 512, 0.9),    # dense truncation through the two-level path
     ):
         gvalid = jax.random.bernoulli(
             jax.random.PRNGKey(seed), p, (R, sg)
